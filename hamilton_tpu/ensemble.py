@@ -1,0 +1,185 @@
+"""Ensemble evolution: vmapped and mesh-sharded trajectory batches.
+
+This is the north-star capability the reference lacks entirely (SURVEY.md
+§2.4: ``evolveHam`` takes one ``Phase n``, ``Numeric/Hamilton.hs:438-440``):
+evolve *thousands* of initial conditions / parameter variations at once so the
+per-step tiny-dense algebra saturates the MXU as batched blocks, and shard the
+ensemble axis over a TPU mesh.
+
+Three entry points:
+
+* :func:`evolve_ensemble` — ``vmap`` over the batch axis (single device);
+* :func:`evolve_ensemble_sharded` — ``jax.shard_map`` over an explicit mesh,
+  each device vmapping its local shard (collectives only if the caller
+  reduces the result);
+* :func:`evolve_ensemble_final` — no trajectory materialization, returning
+  only the final state (+ optional running energy-drift maximum); the
+  benchmark hot path for 10⁵-step horizons where emitting every state would
+  be HBM-bound.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hamilton_tpu.integrators.evolve import evolve_ham_fixed
+from hamilton_tpu.integrators.fixed import make_stepper
+from hamilton_tpu.mechanics import hamiltonian
+from hamilton_tpu.state import Phase
+from hamilton_tpu.system import System
+
+__all__ = ["evolve_ensemble", "evolve_ensemble_sharded", "evolve_ensemble_final"]
+
+
+def evolve_ensemble(
+    system: System,
+    phase0: Phase,
+    dt: float,
+    n_steps: int,
+    *,
+    method: str = "gauss4",
+    emit_every: int = 1,
+    iters: int = 6,
+    omega: float = 20.0,
+    system_batched: bool = False,
+) -> Phase:
+    """Evolve a batch of initial conditions with a fixed-step integrator.
+
+    ``phase0`` carries one leading batch axis; the result has axes
+    ``(time, batch, n)``.  With ``system_batched=True`` the system's inertia
+    vector also carries a leading batch axis (mass/parameter sweeps) — the
+    coordinate/potential functions stay shared.
+    """
+    fn = partial(
+        evolve_ham_fixed,
+        dt=dt,
+        n_steps=n_steps,
+        method=method,
+        emit_every=emit_every,
+        iters=iters,
+        omega=omega,
+    )
+    sys_axes = jax.tree_util.tree_map(lambda _: 0, system) if system_batched else None
+    out = jax.vmap(fn, in_axes=(sys_axes, 0))(system, phase0)
+    # vmap puts batch first: (batch, time, n) -> (time, batch, n)
+    return Phase(jnp.swapaxes(out.q, 0, 1), jnp.swapaxes(out.p, 0, 1))
+
+
+def evolve_ensemble_final(
+    system: System,
+    phase0: Phase,
+    dt: float,
+    n_steps: int,
+    *,
+    method: str = "gauss4",
+    iters: int = 6,
+    omega: float = 20.0,
+    track_drift: bool = True,
+    drift_every: int = 100,
+) -> Tuple[Phase, Optional[jax.Array]]:
+    """Evolve a batch to its final state without materializing trajectories.
+
+    Returns ``(final_phase, max_drift)`` where ``max_drift`` is the running
+    per-member maximum of ``|H(t) − H(0)| / max(|H(0)|, 1)`` sampled every
+    ``drift_every`` steps (the BASELINE.md ``max |ΔH/H₀|`` metric), or None
+    when ``track_drift=False``.
+    """
+    if n_steps % drift_every != 0:
+        raise ValueError(f"{n_steps=} not divisible by {drift_every=}")
+    stepper = make_stepper(system, method, iters=iters, omega=omega)
+    dt = jnp.asarray(dt, phase0.q.dtype)
+    ham_b = jax.vmap(lambda ph: hamiltonian(system, ph))
+
+    def single_init(ph):
+        return stepper.init(ph)
+
+    carry0 = jax.vmap(single_init)(phase0)
+    step_b = jax.vmap(lambda c: stepper.step(c, dt))
+    h0 = ham_b(phase0)
+    h_scale = jnp.maximum(jnp.abs(h0), 1.0)
+
+    def chunk(state, _):
+        carry, drift = state
+        carry = jax.lax.fori_loop(0, drift_every, lambda i, c: step_b(c), carry)
+        if track_drift:
+            h = ham_b(jax.vmap(stepper.extract)(carry))
+            drift = jnp.maximum(drift, jnp.abs(h - h0) / h_scale)
+        return (carry, drift), None
+
+    (carry, drift), _ = jax.lax.scan(
+        chunk, (carry0, jnp.zeros_like(h0)), None, length=n_steps // drift_every
+    )
+    final = jax.vmap(stepper.extract)(carry)
+    return final, (drift if track_drift else None)
+
+
+def evolve_ensemble_sharded(
+    system: System,
+    phase0: Phase,
+    dt: float,
+    n_steps: int,
+    *,
+    mesh: Mesh,
+    axis: str = "ensemble",
+    method: str = "gauss4",
+    emit_every: Optional[int] = None,
+    iters: int = 6,
+    omega: float = 20.0,
+    track_drift: bool = True,
+    drift_every: int = 100,
+):
+    """Mesh-sharded ensemble evolution via ``jax.shard_map``.
+
+    The batch axis of ``phase0`` is split over ``mesh`` axis ``axis``; each
+    device runs the vmapped stepper on its local shard — embarrassingly
+    parallel, zero collectives in the hot loop (the ICI is only touched if the
+    caller reduces the returned per-member statistics).
+
+    With ``emit_every`` set, returns the emitted trajectory
+    ``Phase[(time, batch, n)]``; otherwise returns
+    ``(final_phase, max_drift)`` as :func:`evolve_ensemble_final`.
+
+    The batch size must be divisible by the mesh axis size.
+    """
+    n_shards = mesh.shape[axis]
+    batch = phase0.q.shape[0]
+    if batch % n_shards != 0:
+        raise ValueError(f"batch {batch} not divisible by mesh axis {axis}={n_shards}")
+
+    if emit_every is not None:
+
+        def local_traj(sys_local, ph_local):
+            return evolve_ensemble(
+                sys_local, ph_local, dt, n_steps,
+                method=method, emit_every=emit_every, iters=iters, omega=omega,
+            )
+
+        return jax.shard_map(
+            local_traj,
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=P(None, axis),
+        )(system, phase0)
+
+    def local_final(sys_local, ph_local):
+        final, drift = evolve_ensemble_final(
+            sys_local, ph_local, dt, n_steps,
+            method=method, iters=iters, omega=omega,
+            track_drift=track_drift, drift_every=drift_every,
+        )
+        if drift is None:
+            drift = jnp.zeros_like(ph_local.q[..., 0])
+        return final, drift
+
+    final, drift = jax.shard_map(
+        local_final,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )(system, phase0)
+    return final, (drift if track_drift else None)

@@ -1,0 +1,201 @@
+"""Simulation drivers: the public ``stepHam``/``evolveHam`` API surface.
+
+TPU-native analog of the reference's L3 layer (``Numeric/Hamilton.hs:389-515``):
+
+* :func:`evolve_ham` — adaptive evolution to a vector of output times, GSL
+  RKF45 semantics by default (``evolveHam``, ``:433-462``);
+* :func:`evolve_ham_list` — list-in/list-out convenience incl. the
+  singleton-times ``[x] -> [0, x]`` quirk (``evolveHam'``, ``:409-429``);
+* :func:`step_ham` — single-timestep convenience (``stepHam``, ``:389-402``;
+  note that like the reference it runs the full adaptive solve over
+  ``[0, dt]`` with initial step ``dt/100``);
+* :func:`step_ham_c` / :func:`evolve_ham_c` / :func:`evolve_ham_c_list` —
+  configuration-space wrappers (``:470-515``); the simulation itself always
+  runs in phase space (doc note ``:464-469``);
+* :func:`evolve_ham_fixed` — the TPU-first fixed-step path (no reference
+  analog): ``lax.scan`` over a symplectic stepper with chunked emission, the
+  workhorse for ensembles and long horizons.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from hamilton_tpu.integrators.adaptive import GSL_EPS_DEFAULT, gsl_evolve_to
+from hamilton_tpu.integrators.fixed import make_stepper
+from hamilton_tpu.mechanics import from_phase, ham_rhs, to_phase
+from hamilton_tpu.state import Config, Phase
+from hamilton_tpu.system import System
+
+__all__ = [
+    "step_ham",
+    "evolve_ham",
+    "evolve_ham_list",
+    "evolve_ham_fixed",
+    "step_ham_c",
+    "evolve_ham_c",
+    "evolve_ham_c_list",
+]
+
+
+def evolve_ham(
+    system: System,
+    phase0: Phase,
+    ts,
+    *,
+    eps_abs: float = GSL_EPS_DEFAULT,
+    eps_rel: float = GSL_EPS_DEFAULT,
+    h0: Optional[float] = None,
+    method: str = "rkf45",
+) -> Phase:
+    """Evolve through phase space, emitting the state at each time in ``ts``.
+
+    Analog of reference ``evolveHam`` (``Numeric/Hamilton.hs:433-462``): the
+    output has leading axis ``len(ts)`` with ``out[0] == phase0`` (the state
+    at ``ts[0]``), the default initial step is ``hi = (ts[1]-ts[0])/100``
+    (``:447``) and the default tolerances are GSL's ``1.49012e-08`` (``:448``).
+    ``len(ts) >= 2`` is required, mirroring the reference's ``2 <= s``
+    constraint (``:435``) — use :func:`evolve_ham_list` for looser semantics.
+
+    The suggested step size carries across output intervals exactly as GSL's
+    driver does, so multi-interval trajectories are step-for-step comparable
+    with the reference.
+    """
+    ts = jnp.asarray(ts)
+    if ts.ndim != 1 or ts.shape[0] < 2:
+        raise ValueError(
+            f"evolve_ham requires at least 2 output times (got shape {ts.shape}); "
+            "this mirrors the reference's `2 <= s` constraint (Hamilton.hs:435)"
+        )
+    rhs = ham_rhs(system)
+    y0 = phase0.flatten()
+    ts = ts.astype(y0.dtype)
+    h_init = (ts[1] - ts[0]) / 100.0 if h0 is None else jnp.asarray(h0, y0.dtype)
+
+    def interval(carry, t_pair):
+        y, h = carry
+        t_lo, t_hi = t_pair
+        y1, h1 = gsl_evolve_to(
+            rhs, y, t_lo, t_hi, h,
+            eps_abs=eps_abs, eps_rel=eps_rel, method=method,
+        )
+        return (y1, h1), y1
+
+    (_, _), ys = jax.lax.scan(interval, (y0, h_init), (ts[:-1], ts[1:]))
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    return Phase.unflatten(ys)
+
+
+def evolve_ham_list(
+    system: System,
+    phase0: Phase,
+    ts: Sequence[float],
+    **kwargs,
+) -> List[Phase]:
+    """List-based evolution with the reference's quirk semantics.
+
+    Analog of ``evolveHam'`` (``Numeric/Hamilton.hs:409-429``): an empty time
+    list returns ``[]``; a singleton ``[x]`` is padded to ``[0, x]`` and only
+    the state at ``x`` is returned; otherwise identical to
+    :func:`evolve_ham`.  Returns a Python list of unbatched :class:`Phase`.
+    """
+    ts = list(ts)
+    if not ts:
+        return []
+    singleton = len(ts) == 1
+    ts_eff = [0.0, ts[0]] if singleton else ts
+    out = evolve_ham(system, phase0, jnp.asarray(ts_eff, dtype=phase0.q.dtype), **kwargs)
+    phases = [Phase(out.q[i], out.p[i]) for i in range(len(ts_eff))]
+    return phases[1:] if singleton else phases
+
+
+def step_ham(
+    system: System,
+    phase0: Phase,
+    dt: float,
+    **kwargs,
+) -> Phase:
+    """Advance one timestep ``dt`` through phase space.
+
+    Analog of ``stepHam`` (``Numeric/Hamilton.hs:389-402``): runs the full
+    adaptive solve over ``[0, dt]`` (initial step ``dt/100``) and returns the
+    endpoint.  Argument order is pythonized — reference order is
+    ``stepHam dt system phase``.
+    """
+    out = evolve_ham(
+        system, phase0, jnp.asarray([0.0, dt], dtype=phase0.q.dtype), **kwargs
+    )
+    return Phase(out.q[1], out.p[1])
+
+
+def evolve_ham_fixed(
+    system: System,
+    phase0: Phase,
+    dt: float,
+    n_steps: int,
+    *,
+    method: str = "gauss4",
+    emit_every: int = 1,
+    iters: int = 6,
+    omega: float = 20.0,
+    unroll: int = 1,
+) -> Phase:
+    """Fixed-step evolution: ``n_steps`` steps of size ``dt``, emitting every
+    ``emit_every``-th state (scan-of-scans chunked emission, SURVEY.md §5
+    long-horizon note).
+
+    The TPU-first path with no reference analog: symplectic by default
+    (``gauss4``) so long-horizon energy drift stays bounded.  Returns a
+    :class:`Phase` whose leading axis has ``n_steps // emit_every + 1``
+    entries (the initial state first).  Works under ``vmap`` for ensembles.
+
+    ``n_steps`` must be divisible by ``emit_every``.
+    """
+    if n_steps % emit_every != 0:
+        raise ValueError(f"{n_steps=} not divisible by {emit_every=}")
+    stepper = make_stepper(system, method, iters=iters, omega=omega)
+    dt = jnp.asarray(dt, phase0.q.dtype)
+    carry0 = stepper.init(phase0)
+
+    def chunk(carry, _):
+        def one(i, c):
+            del i
+            return stepper.step(c, dt)
+
+        carry = jax.lax.fori_loop(0, emit_every, one, carry, unroll=unroll)
+        return carry, stepper.extract(carry)
+
+    _, emitted = jax.lax.scan(chunk, carry0, None, length=n_steps // emit_every)
+    q = jnp.concatenate([phase0.q[None], emitted.q], axis=0)
+    p = jnp.concatenate([phase0.p[None], emitted.p], axis=0)
+    return Phase(q, p)
+
+
+# ----------------------------------------------------------------------
+# Configuration-space wrappers (reference Hamilton.hs:470-515)
+# ----------------------------------------------------------------------
+
+
+def step_ham_c(system: System, config0: Config, dt: float, **kwargs) -> Config:
+    """``fromPhase ∘ stepHam ∘ toPhase`` (reference ``stepHamC``, ``:505-515``)."""
+    return from_phase(system, step_ham(system, to_phase(system, config0), dt, **kwargs))
+
+
+def evolve_ham_c(system: System, config0: Config, ts, **kwargs) -> Config:
+    """Configuration-space ``evolveHam`` (reference ``evolveHamC``, ``:488-498``).
+
+    Returns a batched :class:`Config` with leading time axis.
+    """
+    out = evolve_ham(system, to_phase(system, config0), ts, **kwargs)
+    return jax.vmap(lambda ph: from_phase(system, ph))(out)
+
+
+def evolve_ham_c_list(
+    system: System, config0: Config, ts: Sequence[float], **kwargs
+) -> List[Config]:
+    """Configuration-space ``evolveHam'`` (reference ``evolveHamC'``, ``:470-480``)."""
+    phases = evolve_ham_list(system, to_phase(system, config0), ts, **kwargs)
+    return [from_phase(system, ph) for ph in phases]

@@ -1,0 +1,325 @@
+"""Fixed-step integrators: explicit RK and the symplectic family.
+
+The reference has *no* fixed-step integrator — even ``stepHam`` runs the full
+adaptive GSL solve over ``[0, dt]`` (``Numeric/Hamilton.hs:389-402``).  Fixed
+steppers are the intentional TPU-first upgrade (SURVEY.md §3.4, §7): a
+``lax.scan`` of a compiled step has no data-dependent control flow, vmaps
+perfectly over ensembles, and the symplectic members give bounded long-horizon
+energy drift where RK drifts secularly.
+
+The Hamiltonian here is **non-separable** — ``H = ½ pᵀK(q)⁻¹p + U(q)`` with a
+position-dependent mass matrix — so plain kick-drift-kick leapfrog is *not*
+symplectic for general systems.  The symplectic members are therefore:
+
+* ``leapfrog`` — generalized Störmer-Verlet (Hairer et al., *Geometric
+  Numerical Integration*, VI.3): the semi-implicit two-half-step scheme,
+  solved by fixed-point iteration; reduces to classic leapfrog when K is
+  constant.  Order 2, symmetric, symplectic.
+* ``midpoint`` / ``gauss4`` / ``gauss6`` — Gauss-Legendre collocation (orders
+  2/4/6), symplectic and symmetric, solved by fixed-point iteration with a
+  static iteration count (TPU-friendly: no data-dependent loops).
+* ``tao2`` / ``tao4`` — Molei Tao's *explicit* symplectic integrator for
+  non-separable Hamiltonians (PRE 94, 043303 (2016)): extended phase space
+  ``(q, p, x, y)`` with an ω-binding, needing only ∂H evaluations — no
+  implicit solves at all.  ``tao4`` is the Yoshida triple-jump composition.
+* ``yoshida4`` — 4th-order triple-jump composition of ``leapfrog``.
+
+plus non-symplectic ``rk4`` for reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from hamilton_tpu.mechanics import ham_eqs, to_phase, from_phase
+from hamilton_tpu.state import Config, Phase
+from hamilton_tpu.system import System
+from hamilton_tpu.integrators.tableaus import (
+    GAUSS2,
+    GAUSS4,
+    GAUSS6,
+    RK4,
+    Tableau,
+)
+
+__all__ = ["Stepper", "make_stepper", "FIXED_METHODS"]
+
+
+@dataclass(frozen=True)
+class Stepper:
+    """A fixed-step integrator as an (init, step, extract) triple.
+
+    ``init`` maps a :class:`Phase` to the integrator's internal carry (for
+    most methods the phase itself; Tao's method carries the extended state),
+    ``step`` advances the carry by ``dt``, and ``extract`` projects the carry
+    back to a :class:`Phase`.  All three are pure and jit/vmap/scan-safe.
+    """
+
+    init: Callable[[Phase], Any]
+    step: Callable[[Any, jax.Array], Any]
+    extract: Callable[[Any], Phase]
+    order: int
+    symplectic: bool
+
+
+def _rhs(system: System):
+    def rhs(phase: Phase) -> Phase:
+        dq, dp = ham_eqs(system, phase)
+        return Phase(dq, dp)
+
+    return rhs
+
+
+# ----------------------------------------------------------------------
+# Explicit RK on phase space
+# ----------------------------------------------------------------------
+
+
+def _explicit_rk_stepper(system: System, tab: Tableau) -> Stepper:
+    rhs = _rhs(system)
+
+    def step(ph: Phase, dt) -> Phase:
+        ks = []
+        for i in range(tab.stages):
+            qi, pi = ph.q, ph.p
+            for j, aij in enumerate(tab.a[i]):
+                if aij != 0.0:
+                    qi = qi + dt * aij * ks[j].q
+                    pi = pi + dt * aij * ks[j].p
+            ks.append(rhs(Phase(qi, pi)))
+        q1, p1 = ph.q, ph.p
+        for bi, ki in zip(tab.b, ks):
+            if bi != 0.0:
+                q1 = q1 + dt * bi * ki.q
+                p1 = p1 + dt * bi * ki.p
+        return Phase(q1, p1)
+
+    return Stepper(lambda p: p, step, lambda p: p, order=tab.order, symplectic=False)
+
+
+# ----------------------------------------------------------------------
+# Gauss-Legendre collocation (symplectic implicit RK), fixed-point solved
+# ----------------------------------------------------------------------
+
+
+def _gauss_stepper(system: System, tab: Tableau, iters: int) -> Stepper:
+    rhs = _rhs(system)
+    s = tab.stages
+    rhs_stages = jax.vmap(lambda q, p: ham_eqs(system, Phase(q, p)))
+
+    def step(ph: Phase, dt) -> Phase:
+        # Stage derivatives F_i, fixed-point iterated:
+        #   F_i <- f(y + dt Σ_j a_ij F_j).
+        # The iteration runs as a fori_loop (one ham_eqs instance in the
+        # compiled graph, not iters·s copies) with the s stages evaluated as
+        # one vmapped batch — both a compile-time and an MXU-utilization win.
+        a_mat = jnp.asarray(tab.a, dtype=ph.q.dtype)  # (s, s)
+        b_vec = jnp.asarray(tab.b, dtype=ph.q.dtype)  # (s,)
+        f0 = rhs(ph)
+        fq0 = jnp.broadcast_to(f0.q, (s,) + f0.q.shape)
+        fp0 = jnp.broadcast_to(f0.p, (s,) + f0.p.shape)
+
+        def body(_, fs):
+            fq, fp = fs
+            qi = ph.q + dt * (a_mat @ fq)  # (s, n)
+            pi = ph.p + dt * (a_mat @ fp)
+            return rhs_stages(qi, pi)
+
+        fq, fp = jax.lax.fori_loop(0, iters, body, (fq0, fp0))
+        return Phase(ph.q + dt * (b_vec @ fq), ph.p + dt * (b_vec @ fp))
+
+    return Stepper(lambda p: p, step, lambda p: p, order=tab.order, symplectic=True)
+
+
+# ----------------------------------------------------------------------
+# Generalized Störmer-Verlet ("leapfrog") for non-separable H
+# ----------------------------------------------------------------------
+
+
+def _leapfrog_stepper(system: System, iters: int) -> Stepper:
+    def hq(q, p):
+        """−ṗ = ∂H/∂q at (q, p)."""
+        _, dp = ham_eqs(system, Phase(q, p))
+        return -dp
+
+    def hp(q, p):
+        """q̇ = ∂H/∂p at (q, p)."""
+        dq, _ = ham_eqs(system, Phase(q, p))
+        return dq
+
+    def step(ph: Phase, dt) -> Phase:
+        q0, p0 = ph.q, ph.p
+        half = dt / 2
+        # p½ = p0 − h/2 · H_q(q0, p½)   (implicit in p½; fori_loop keeps one
+        # ham_eqs instance in the graph instead of `iters` copies)
+        ph_half = jax.lax.fori_loop(
+            0, iters, lambda _, pk: p0 - half * hq(q0, pk), p0
+        )
+        # q1 = q0 + h/2 · (H_p(q0, p½) + H_p(q1, p½))   (implicit in q1)
+        v0 = hp(q0, ph_half)
+        q1 = jax.lax.fori_loop(
+            0, iters, lambda _, qk: q0 + half * (v0 + hp(qk, ph_half)), q0 + dt * v0
+        )
+        # p1 = p½ − h/2 · H_q(q1, p½)
+        p1 = ph_half - half * hq(q1, ph_half)
+        return Phase(q1, p1)
+
+    return Stepper(lambda p: p, step, lambda p: p, order=2, symplectic=True)
+
+
+# ----------------------------------------------------------------------
+# Tao's explicit symplectic integrator for non-separable H (PRE 2016)
+# ----------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class _TaoState:
+    q: jax.Array
+    p: jax.Array
+    x: jax.Array
+    y: jax.Array
+
+
+def _tao_flows(system: System, omega: float):
+    def hq(q, p):
+        _, dp = ham_eqs(system, Phase(q, p))
+        return -dp
+
+    def hp(q, p):
+        dq, _ = ham_eqs(system, Phase(q, p))
+        return dq
+
+    def phi_a(st: _TaoState, d) -> _TaoState:
+        # H_A = H(q, y): p ← p − δ H_q(q, y); x ← x + δ H_p(q, y)
+        dq, dp = ham_eqs(system, Phase(st.q, st.y))
+        return _TaoState(st.q, st.p + d * dp, st.x + d * dq, st.y)
+
+    def phi_b(st: _TaoState, d) -> _TaoState:
+        # H_B = H(x, p): q ← q + δ H_p(x, p); y ← y − δ H_q(x, p)
+        dq, dp = ham_eqs(system, Phase(st.x, st.p))
+        return _TaoState(st.q + d * dq, st.p, st.x, st.y + d * dp)
+
+    def phi_c(st: _TaoState, d) -> _TaoState:
+        # ω-binding rotation of (q−x, p−y), exact linear flow.
+        ang = 2.0 * omega * d
+        cth, sth = jnp.cos(ang), jnp.sin(ang)
+        dq, dp = st.q - st.x, st.p - st.y
+        sq, sp = st.q + st.x, st.p + st.y
+        rq = cth * dq + sth * dp
+        rp = -sth * dq + cth * dp
+        return _TaoState(
+            0.5 * (sq + rq), 0.5 * (sp + rp), 0.5 * (sq - rq), 0.5 * (sp - rp)
+        )
+
+    return phi_a, phi_b, phi_c
+
+
+def _tao2_step(system: System, omega: float):
+    phi_a, phi_b, phi_c = _tao_flows(system, omega)
+
+    def step(st: _TaoState, dt) -> _TaoState:
+        h = dt / 2
+        st = phi_a(st, h)
+        st = phi_b(st, h)
+        st = phi_c(st, dt)
+        st = phi_b(st, h)
+        st = phi_a(st, h)
+        return st
+
+    return step
+
+
+def _tao_stepper(system: System, omega: float, order: int) -> Stepper:
+    base = _tao2_step(system, omega)
+    if order == 2:
+        step = base
+    elif order == 4:
+        step = _triple_jump(base, 2)
+    else:
+        raise ValueError(f"tao integrator supports order 2 or 4, got {order}")
+
+    return Stepper(
+        init=lambda ph: _TaoState(ph.q, ph.p, ph.q, ph.p),
+        step=step,
+        extract=lambda st: Phase(0.5 * (st.q + st.x), 0.5 * (st.p + st.y)),
+        order=order,
+        symplectic=True,
+    )
+
+
+def _triple_jump(step, base_order: int):
+    """Yoshida/Suzuki triple-jump: raise a symmetric method's order by 2."""
+    gamma = 2.0 ** (1.0 / (base_order + 1))
+    w1 = 1.0 / (2.0 - gamma)
+    w0 = -gamma / (2.0 - gamma)
+
+    def composed(state, dt):
+        state = step(state, w1 * dt)
+        state = step(state, w0 * dt)
+        state = step(state, w1 * dt)
+        return state
+
+    return composed
+
+
+def _yoshida4_stepper(system: System, iters: int) -> Stepper:
+    lf = _leapfrog_stepper(system, iters)
+    return Stepper(
+        lf.init, _triple_jump(lf.step, 2), lf.extract, order=4, symplectic=True
+    )
+
+
+# ----------------------------------------------------------------------
+# Registry
+# ----------------------------------------------------------------------
+
+FIXED_METHODS = (
+    "rk4",
+    "leapfrog",
+    "midpoint",
+    "gauss4",
+    "gauss6",
+    "yoshida4",
+    "tao2",
+    "tao4",
+)
+
+
+def make_stepper(
+    system: System,
+    method: str = "gauss4",
+    *,
+    iters: int = 6,
+    omega: float = 20.0,
+) -> Stepper:
+    """Build a fixed-step :class:`Stepper` for ``system``.
+
+    Args:
+      method: one of :data:`FIXED_METHODS`.
+      iters: fixed-point iteration count for the implicit members (static —
+        compiled into the trace; ~5-8 suffices for typical ``|dt·∂²H| ≪ 1``).
+      omega: binding frequency for Tao's method (larger tracks the physical
+        trajectory more tightly but demands smaller ``dt``; ω·dt ≲ 1).
+    """
+    if method == "rk4":
+        return _explicit_rk_stepper(system, RK4)
+    if method == "leapfrog":
+        return _leapfrog_stepper(system, iters)
+    if method == "midpoint":
+        return _gauss_stepper(system, GAUSS2, iters)
+    if method == "gauss4":
+        return _gauss_stepper(system, GAUSS4, iters)
+    if method == "gauss6":
+        return _gauss_stepper(system, GAUSS6, iters)
+    if method == "yoshida4":
+        return _yoshida4_stepper(system, iters)
+    if method == "tao2":
+        return _tao_stepper(system, omega, 2)
+    if method == "tao4":
+        return _tao_stepper(system, omega, 4)
+    raise ValueError(f"unknown fixed-step method {method!r}; choose from {FIXED_METHODS}")

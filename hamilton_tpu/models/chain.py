@@ -1,0 +1,76 @@
+"""N-link pendulum chain — the BASELINE stress config (no reference analog).
+
+``System (2N, N)``: BASELINE.md's "20-link pendulum chain (System 40 20)
+stressing batched 20×20 mass-matrix solves per step".  Link ``i`` hangs from
+link ``i−1``; the Cartesian position of bob ``i`` is the cumulative sum of the
+link vectors, so the coordinate map is a pair of ``cumsum``s — cheap to
+evaluate, with a dense ``(2N, N)`` Jacobian that exercises the full
+``JᵀMJ`` / Cholesky / Hessian-contraction pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from hamilton_tpu.models.base import Example
+from hamilton_tpu.state import Config
+from hamilton_tpu.system import mk_system_cart
+
+__all__ = ["chain"]
+
+
+def chain(
+    n_links: int = 20,
+    masses: Optional[Sequence[float]] = None,
+    link_length: float = 1.0,
+    gravity: float = 5.0,
+    theta0: float = 0.5,
+) -> Example:
+    """Chain of ``n_links`` pendulum links.
+
+    Coordinates: bob ``i`` sits at
+    ``x_i = Σ_{j≤i} l·sin θ_j``, ``y_i = Σ_{j≤i} l·(1 − cos θ_j)`` —
+    the natural generalization of the reference double pendulum's coordinate
+    map (``app/Examples.hs:82-88``) to N links of equal length.
+
+    Potential: ``U = g·Σ_i m_i·y_i`` (gravity, same form as the reference's
+    ``5(m₁y₁ + m₂y₂)``, ``app/Examples.hs:89``).
+
+    Initial state: every link displaced by ``theta0``, at rest.
+    """
+    if masses is None:
+        masses = [1.0] * n_links
+    masses = jnp.asarray(masses, dtype=jnp.result_type(float))
+    if masses.shape != (n_links,):
+        raise ValueError(f"need {n_links} masses, got shape {masses.shape}")
+    # inertia vector: (m_1, m_1, m_2, m_2, ...) interleaved for (x_i, y_i)
+    inertia = jnp.repeat(masses, 2)
+
+    def coords(q):
+        x = jnp.cumsum(link_length * jnp.sin(q))
+        y = jnp.cumsum(link_length * (1.0 - jnp.cos(q)))
+        return jnp.stack([x, y], axis=-1).reshape(-1)  # (x1, y1, x2, y2, ...)
+
+    def potential_cart(xs):
+        ys = xs.reshape(-1, 2)[:, 1]
+        return gravity * jnp.sum(masses * ys)
+
+    system = mk_system_cart(
+        inertia, coords, potential_cart, n=n_links, name=f"chain{n_links}"
+    )
+
+    def draw(xs):
+        pts = xs.reshape(-1, 2)
+        return [pts[i] for i in range(pts.shape[0])]
+
+    return Example(
+        name=f"{n_links}-link chain",
+        coord_names=tuple(f"θ{i+1}" for i in range(n_links)),
+        system=system,
+        draw=draw,
+        init_config=Config(
+            jnp.full((n_links,), theta0), jnp.zeros((n_links,))
+        ),
+    )

@@ -1,0 +1,55 @@
+"""Double pendulum (reference ``doublePendulum``, ``app/Examples.hs:75-94``).
+
+This is the baseline configuration system (BASELINE.md): ``System 4 2`` with
+the second arm half-length, the chaotic workhorse for the ensemble benchmark.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hamilton_tpu.models.base import Example
+from hamilton_tpu.state import Config
+from hamilton_tpu.system import mk_system_cart
+
+__all__ = ["double_pendulum"]
+
+
+def double_pendulum(m1: float = 1.0, m2: float = 1.0) -> Example:
+    """Double pendulum with bob masses ``m1``, ``m2`` (CLI defaults 1, 1).
+
+    Coordinates (``app/Examples.hs:82-88``)::
+
+        (sin θ₁, 1 − cos θ₁, sin θ₁ + sin θ₂ / 2, 1 − cos θ₁ − cos θ₂ / 2)
+
+    potential ``U = 5(m₁y₁ + m₂y₂)`` (``:89``); initial state ``q = (π/2, 0)``,
+    ``q̇ = (0, 0)`` (``:94``).
+    """
+    masses = jnp.array([m1, m1, m2, m2])
+
+    def coords(q):
+        t1, t2 = q[0], q[1]
+        return jnp.stack(
+            [
+                jnp.sin(t1),
+                1.0 - jnp.cos(t1),
+                jnp.sin(t1) + jnp.sin(t2) / 2.0,
+                1.0 - jnp.cos(t1) - jnp.cos(t2) / 2.0,
+            ]
+        )
+
+    def potential(x):
+        return 5.0 * (m1 * x[1] + m2 * x[3])
+
+    system = mk_system_cart(masses, coords, potential, n=2, name="double_pendulum")
+
+    def draw(xs):
+        return [xs[0:2], xs[2:4]]
+
+    return Example(
+        name="Double pendulum",
+        coord_names=("θ1", "θ2"),
+        system=system,
+        draw=draw,
+        init_config=Config(jnp.array([jnp.pi / 2, 0.0]), jnp.array([0.0, 0.0])),
+    )

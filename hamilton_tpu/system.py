@@ -1,0 +1,199 @@
+"""System construction via automatic differentiation.
+
+TPU-native analog of the reference's L1 layer (``Numeric/Hamilton.hs:147-254``):
+the ``System m n`` GADT of six pre-differentiated closures becomes a registered
+pytree holding the inertia vector plus the *user's pure functions*; the
+Jacobian, the rank-3 Hessian, and the potential gradient are not stored — they
+are ``jax.jacfwd`` / ``jax.hessian`` / ``jax.grad`` transforms applied lazily
+and fused into the surrounding jit-compiled step (SURVEY.md §7 design table).
+
+User-function contract (the analog of the reference's
+``forall a. RealFloat a => V.Vector n a -> V.Vector m a`` rank-polymorphism,
+``Numeric/Hamilton.hs:212-215``): ``coords`` and ``potential`` must be *pure,
+jax.numpy-traceable* functions — no Python branching on traced values, no
+side effects.  Hard walls must be modeled as smooth potentials (like the
+reference's ``logistic`` soft wall, ``app/Examples.hs:601-605``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["System", "mk_system", "mk_system_cart", "underlying_pos"]
+
+
+class System:
+    """A physical system with ``n`` generalized coordinates embedded in an
+    ``m``-dimensional Cartesian space.
+
+    Analog of the reference ``System m n`` (``Numeric/Hamilton.hs:160-169``),
+    with the six stored closures replaced by AD transforms of the two user
+    functions:
+
+    ==================  =============================================
+    reference field     here
+    ==================  =============================================
+    ``_sysInertia``     :attr:`inertia` (array, pytree leaf)
+    ``_sysCoords``      :attr:`coords` (user fn, static)
+    ``_sysJacobian``    :meth:`jacobian` = ``jax.jacfwd(coords)``
+    ``_sysHessian``     :meth:`hessian` = ``jax.hessian(coords)``
+    ``_sysPotential``   :attr:`potential` (user fn, static)
+    ``_sysPotentialGrad``  :meth:`potential_grad` = ``jax.grad(potential)``
+    ==================  =============================================
+
+    ``System`` is a pytree: :attr:`inertia` is a leaf (so it can be traced,
+    vmapped over for parameter sweeps, and donated), while the two functions
+    are static aux data (so ``jit`` specializes per system).
+    """
+
+    def __init__(
+        self,
+        inertia: jax.Array,
+        coords: Callable[[jax.Array], jax.Array],
+        potential: Callable[[jax.Array], jax.Array],
+        n: Optional[int] = None,
+        name: str = "system",
+    ):
+        self.inertia = jnp.asarray(inertia)
+        if self.inertia.ndim != 1:
+            raise ValueError(
+                f"inertia must be a rank-1 vector of per-Cartesian-coordinate "
+                f"masses, got shape {self.inertia.shape}"
+            )
+        self.coords = coords
+        self.potential = potential
+        self._n = n
+        self.name = name
+
+    # -- dimensions -----------------------------------------------------
+    @property
+    def m(self) -> int:
+        """Cartesian (underlying) dimension."""
+        return self.inertia.shape[0]
+
+    @property
+    def n(self) -> Optional[int]:
+        """Generalized-coordinate dimension, if declared at construction."""
+        return self._n
+
+    # -- AD-derived closures (reference Hamilton.hs:217-225) ------------
+    def jacobian(self, q: jax.Array) -> jax.Array:
+        """``J(q) = df/dq``, shape ``(m, n)``.
+
+        Reference ``_sysJacobian = tr . vec2l . jacobianT f``
+        (``Numeric/Hamilton.hs:221``), via forward-mode AD — forward mode is
+        the right choice for ``n <= m`` tall Jacobians.
+        """
+        return jax.jacfwd(self.coords)(q)
+
+    def hessian(self, q: jax.Array) -> jax.Array:
+        """Rank-3 ``d2f/dq2``, shape ``(m, n, n)``.
+
+        ``hessian(q)[a, j, k] = ∂²f_a/∂q_j∂q_k``.  Reference ``_sysHessian``
+        (``Numeric/Hamilton.hs:222``) stores this re-sliced as ``n`` matrices
+        of ``(m, n)`` via ``tr2`` (``:227-233``); here it stays one contiguous
+        rank-3 array so the dynamics contraction is a single ``einsum``
+        (see :func:`hamilton_tpu.mechanics.ham_eqs`).
+        """
+        return jax.jacfwd(jax.jacfwd(self.coords))(q)
+
+    def potential_value(self, q: jax.Array) -> jax.Array:
+        """``U(q)`` as a scalar array (reference ``_sysPotential``, ``:223``)."""
+        return jnp.asarray(self.potential(q)).reshape(())
+
+    def potential_grad(self, q: jax.Array) -> jax.Array:
+        """``∇U(q)``, shape ``(n,)`` (reference ``_sysPotentialGrad``, ``:224``)."""
+        return jax.grad(lambda qq: jnp.asarray(self.potential(qq)).reshape(()))(q)
+
+    def underlying_pos(self, q: jax.Array) -> jax.Array:
+        """``f(q)``: generalized -> Cartesian positions (reference
+        ``underlyingPos``, ``Numeric/Hamilton.hs:174-178``)."""
+        return self.coords(q)
+
+    # -- pytree protocol ------------------------------------------------
+    def tree_flatten(self):
+        return (self.inertia,), (self.coords, self.potential, self._n, self.name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        coords, potential, n, name = aux
+        (inertia,) = children
+        obj = cls.__new__(cls)
+        obj.inertia = inertia
+        obj.coords = coords
+        obj.potential = potential
+        obj._n = n
+        obj.name = name
+        return obj
+
+    def __repr__(self) -> str:
+        return f"System(name={self.name!r}, m={self.inertia.shape[0]}, n={self._n})"
+
+
+jax.tree_util.register_pytree_node(
+    System,
+    lambda s: s.tree_flatten(),
+    System.tree_unflatten,
+)
+
+
+def mk_system(
+    inertia,
+    coords: Callable[[jax.Array], jax.Array],
+    potential: Callable[[jax.Array], jax.Array],
+    *,
+    n: Optional[int] = None,
+    name: str = "system",
+) -> System:
+    """Create a system from generalized-coordinate data.
+
+    Analog of reference ``mkSystem`` (``Numeric/Hamilton.hs:201-233``):
+
+    Args:
+      inertia: ``(m,)`` vector — mass for linear coordinates, rotational
+        inertia for angular ones (``:204-208``).
+      coords: pure traceable map from generalized positions ``(n,)`` to
+        Cartesian positions ``(m,)`` (``:209-212``).
+      potential: potential energy as a function of *generalized* positions
+        ``(n,) -> scalar`` (``:213-215``).
+      n: optional declared generalized dimension (runtime-checked on use).
+      name: label for diagnostics.
+    """
+    return System(inertia, coords, potential, n=n, name=name)
+
+
+def mk_system_cart(
+    inertia,
+    coords: Callable[[jax.Array], jax.Array],
+    potential_cart: Callable[[jax.Array], jax.Array],
+    *,
+    n: Optional[int] = None,
+    name: str = "system",
+) -> System:
+    """Create a system with the potential stated in *Cartesian* coordinates.
+
+    Analog of reference ``mkSystem'`` = ``mkSystem m f (u . f)``
+    (``Numeric/Hamilton.hs:238-254``).
+    """
+    return System(
+        inertia, coords, lambda q: potential_cart(coords(q)), n=n, name=name
+    )
+
+
+def underlying_pos(system: System, q: jax.Array) -> jax.Array:
+    """Convert generalized positions to underlying Cartesian positions.
+
+    Analog of reference ``underlyingPos`` (``Numeric/Hamilton.hs:174-178``) —
+    the only API consumer of the ``m`` dimension; used for plotting/drawing.
+    Batched ``q`` is supported via vmap over the leading axes.
+    """
+    q = jnp.asarray(q)
+    if q.ndim == 1:
+        return system.coords(q)
+    fn = system.coords
+    for _ in range(q.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(q)

@@ -1,0 +1,152 @@
+"""Ensemble and sharding tests on the virtual 8-device CPU mesh.
+
+Covers SURVEY.md §4 (e) vmap ≡ loop at the trajectory level, plus the
+mesh-sharded path the driver's multichip dry-run exercises.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hamilton_tpu import (
+    Phase,
+    evolve_ensemble,
+    evolve_ensemble_sharded,
+    evolve_ham_fixed,
+    hamiltonian,
+)
+from hamilton_tpu.ensemble import evolve_ensemble_final
+from hamilton_tpu.models import double_pendulum
+from hamilton_tpu.parallel import ensemble_mesh, shard_phase
+
+DP = double_pendulum()
+
+
+def make_batch(b=16):
+    ph0 = DP.init_phase
+    deltas = jnp.linspace(-0.01, 0.01, b)[:, None] * jnp.array([1.0, 0.0])
+    return Phase(ph0.q[None, :] + deltas, jnp.tile(ph0.p, (b, 1)))
+
+
+class TestEnsemble:
+    def test_vmap_equals_loop(self):
+        batch = make_batch(4)
+        traj = evolve_ensemble(DP.system, batch, 0.01, 50, method="gauss4",
+                               emit_every=10)
+        assert traj.q.shape == (6, 4, 2)  # (time incl init, batch, n)
+        for i in range(4):
+            single = evolve_ham_fixed(
+                DP.system, Phase(batch.q[i], batch.p[i]), 0.01, 50,
+                method="gauss4", emit_every=10,
+            )
+            np.testing.assert_allclose(
+                np.asarray(traj.q[:, i]), np.asarray(single.q), rtol=1e-10, atol=1e-12
+            )
+
+    def test_final_matches_trajectory_endpoint(self):
+        batch = make_batch(8)
+        traj = evolve_ensemble(DP.system, batch, 0.01, 100, emit_every=100)
+        final, drift = evolve_ensemble_final(
+            DP.system, batch, 0.01, 100, drift_every=50
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.q), np.asarray(traj.q[-1]), rtol=1e-10, atol=1e-12
+        )
+        assert drift.shape == (8,)
+        assert np.all(np.asarray(drift) < 1e-6)
+
+    def test_system_batched_mass_sweep(self):
+        """Parameter sweep: vmapping over the inertia leaf."""
+        import dataclasses
+
+        b = 5
+        m2s = jnp.linspace(0.5, 2.0, b)
+        inertias = jnp.stack(
+            [jnp.array([1.0, 1.0, float(m2), float(m2)]) for m2 in m2s]
+        )
+        # NOTE: potential closure uses static m1/m2; for a sweep the potential
+        # must read masses from the inertia — build a sweep-safe system:
+        from hamilton_tpu import mk_system_cart
+        from hamilton_tpu.models.double_pendulum import double_pendulum as dpf
+
+        base = dpf()
+
+        def potential_from_inertia(inertia):
+            def u_cart(x):
+                return 5.0 * (inertia[0] * x[1] + inertia[2] * x[3])
+            return u_cart
+
+        # Build one system whose potential reads a traced inertia via closure
+        # over the System pytree leaf: use vmap over the System itself.
+        sys_proto = mk_system_cart(
+            inertias[0], base.system.coords,
+            lambda x: 0.0, n=2,
+        )
+
+        def step_with(inertia, ph):
+            sysm = mk_system_cart(
+                inertia, base.system.coords,
+                potential_from_inertia(inertia), n=2,
+            )
+            out = evolve_ham_fixed(sysm, ph, 0.01, 20, method="gauss4", emit_every=20)
+            return Phase(out.q[-1], out.p[-1])
+
+        ph0 = DP.init_phase
+        batch = jax.vmap(step_with, in_axes=(0, None))(inertias, ph0)
+        assert batch.q.shape == (b, 2)
+        # different masses → different dynamics
+        assert not np.allclose(np.asarray(batch.q[0]), np.asarray(batch.q[-1]))
+
+
+class TestSharded:
+    def test_sharded_matches_unsharded(self, devices8):
+        mesh = ensemble_mesh(devices8)
+        batch = make_batch(16)
+        final_s, drift_s = evolve_ensemble_sharded(
+            DP.system, batch, 0.01, 100, mesh=mesh, drift_every=50
+        )
+        final_u, drift_u = evolve_ensemble_final(
+            DP.system, batch, 0.01, 100, drift_every=50
+        )
+        np.testing.assert_allclose(
+            np.asarray(final_s.q), np.asarray(final_u.q), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(drift_s), np.asarray(drift_u), rtol=1e-9, atol=1e-15
+        )
+
+    def test_sharded_trajectory(self, devices8):
+        mesh = ensemble_mesh(devices8)
+        batch = make_batch(8)
+        traj = evolve_ensemble_sharded(
+            DP.system, batch, 0.01, 40, mesh=mesh, emit_every=20
+        )
+        assert traj.q.shape == (3, 8, 2)
+
+    def test_bad_batch_divisibility(self, devices8):
+        mesh = ensemble_mesh(devices8)
+        batch = make_batch(12)  # not divisible by 8
+        with pytest.raises(ValueError):
+            evolve_ensemble_sharded(DP.system, batch, 0.01, 10, mesh=mesh)
+
+    def test_gspmd_auto_sharding(self, devices8):
+        """The pjit path: device_put with NamedSharding + plain jit."""
+        mesh = ensemble_mesh(devices8)
+        batch = shard_phase(make_batch(16), mesh)
+
+        @jax.jit
+        def run(ph):
+            final, drift = evolve_ensemble_final(
+                DP.system, ph, 0.01, 50, drift_every=50
+            )
+            return final, jnp.max(drift)
+
+        final, maxdrift = run(batch)
+        assert final.q.shape == (16, 2)
+        assert float(maxdrift) < 1e-6
+
+    def test_2d_param_mesh(self, devices8):
+        """2-D mesh: ensemble × param axes (4 × 2)."""
+        mesh = ensemble_mesh(devices8, param_axis=2)
+        assert mesh.shape["ensemble"] == 4 and mesh.shape["param"] == 2

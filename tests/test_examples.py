@@ -1,0 +1,231 @@
+"""Example-system tests: construction, dimensions, dynamics sanity.
+
+The reference treats its demos as the de-facto integration suite (SURVEY.md
+§4); here each gets automated checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hamilton_tpu import (
+    Config,
+    Phase,
+    evolve_ham,
+    evolve_ham_fixed,
+    hamiltonian,
+    step_ham,
+    to_phase,
+    underlying_pos,
+)
+from hamilton_tpu.models import (
+    REGISTRY,
+    bezier,
+    bezier_curve,
+    chain,
+    double_pendulum,
+    get_example,
+    pendulum,
+    room,
+    spring,
+    two_body,
+)
+
+ALL_NAMES = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_example_constructs_and_draws(name):
+    ex = get_example(name)
+    assert len(ex.coord_names) == ex.n
+    assert ex.system.m == ex.m
+    ph0 = ex.init_phase
+    assert ph0.q.shape == (ex.n,)
+    pts = ex.draw(underlying_pos(ex.system, ph0.q))
+    for pt in pts:
+        assert np.asarray(pt).shape == (2,)
+        assert np.all(np.isfinite(np.asarray(pt)))
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_example_steps_and_conserves_energy_short(name):
+    """One adaptive step; H conserved to solver tolerance."""
+    ex = get_example(name)
+    ph0 = ex.init_phase
+    h0 = float(hamiltonian(ex.system, ph0))
+    ph1 = step_ham(ex.system, ph0, 0.1)
+    h1 = float(hamiltonian(ex.system, ph1))
+    assert np.isfinite(h1)
+    assert abs(h1 - h0) < 1e-6 * max(abs(h0), 1.0)
+
+
+def test_example_dims_match_reference():
+    """System (m, n) pairs from app/Examples.hs:61-183."""
+    expect = {
+        "pend": (2, 1),
+        "doublepend": (4, 2),
+        "room": (2, 2),
+        "twobody": (4, 2),
+        "spring": (3, 3),
+        "bezier": (2, 1),
+        "chain": (40, 20),
+    }
+    for name, (m, n) in expect.items():
+        ex = get_example(name)
+        assert (ex.m, ex.n) == (m, n), name
+
+
+class TestPendulum:
+    def test_equilibrium_is_fixed_point(self):
+        """At θ=0, ω=0 the pendulum stays put."""
+        ex = pendulum(theta0=0.0, omega0=0.0)
+        ph1 = step_ham(ex.system, ex.init_phase, 0.5)
+        np.testing.assert_allclose(np.asarray(ph1.q), [0.0], atol=1e-10)
+
+    def test_draw_single_point(self):
+        ex = pendulum()
+        pts = ex.draw(underlying_pos(ex.system, jnp.array([0.3])))
+        assert len(pts) == 1
+
+
+class TestDoublePendulum:
+    def test_reference_defaults(self):
+        """Defaults m1=m2=1, q0=(π/2, 0), q̇0=0 (app/Examples.hs:94,196)."""
+        ex = double_pendulum()
+        np.testing.assert_allclose(
+            np.asarray(ex.init_config.q), [np.pi / 2, 0.0], rtol=1e-12
+        )
+        np.testing.assert_allclose(np.asarray(ex.init_config.v), [0.0, 0.0])
+
+    def test_draw_two_points(self):
+        ex = double_pendulum()
+        pts = ex.draw(underlying_pos(ex.system, ex.init_config.q))
+        assert len(pts) == 2
+        # at q=(π/2, 0): bob1 at (1, 1), bob2 at (1, 1) + (0, -1/2)... coords:
+        # x2 = sin θ1 + sin θ2/2 = 1, y2 = 1 − cos θ1 − cos θ2/2 = 0.5
+        np.testing.assert_allclose(np.asarray(pts[0]), [1.0, 1.0], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pts[1]), [1.0, 0.5], atol=1e-12)
+
+    def test_mass_parameter_affects_dynamics(self):
+        ex1 = double_pendulum(1.0, 1.0)
+        ex2 = double_pendulum(1.0, 3.0)
+        p1 = step_ham(ex1.system, ex1.init_phase, 0.3)
+        p2 = step_ham(ex2.system, ex2.init_phase, 0.3)
+        assert not np.allclose(np.asarray(p1.q), np.asarray(p2.q))
+
+
+class TestRoom:
+    def test_walls_confine(self):
+        """Long trajectory stays (softly) inside the room box."""
+        ex = room(theta=np.pi / 4)
+        out = evolve_ham_fixed(ex.system, ex.init_phase, 0.005, 4000,
+                               method="gauss4", emit_every=100)
+        q = np.asarray(out.q)
+        assert np.all(np.abs(q[:, 0]) < 2.5)
+        assert np.all(np.abs(q[:, 1]) < 1.5)
+
+
+class TestTwoBody:
+    def test_angular_momentum_conserved(self):
+        """θ is cyclic → p_θ exactly conserved by the dynamics."""
+        ex = two_body()
+        ph0 = ex.init_phase
+        out = evolve_ham(ex.system, ph0, jnp.linspace(0.0, 5.0, 11))
+        p_theta = np.asarray(out.p[:, 1])
+        np.testing.assert_allclose(p_theta, p_theta[0], rtol=1e-7)
+
+    def test_round_trip_baseline_config(self):
+        """BASELINE configs[2]: toPhase/fromPhase round-trip on Kepler."""
+        from hamilton_tpu import from_phase
+
+        ex = two_body()
+        c0 = ex.init_config
+        c1 = from_phase(ex.system, to_phase(ex.system, c0))
+        np.testing.assert_allclose(np.asarray(c1.v), np.asarray(c0.v), rtol=1e-10)
+
+
+class TestSpring:
+    def test_rail_confines_block(self):
+        ex = spring()
+        out = evolve_ham_fixed(ex.system, ex.init_phase, 0.002, 5000,
+                               method="gauss4", emit_every=250)
+        r = np.asarray(out.q[:, 0])
+        assert np.all(np.abs(r) < 2.0)
+
+
+class TestBezier:
+    def test_curve_endpoints_hit_control_points(self):
+        pts = ((0.0, 0.0), (1.0, 2.0), (3.0, 1.0))
+        np.testing.assert_allclose(
+            np.asarray(bezier_curve(pts, 0.0)), [0.0, 0.0], atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(bezier_curve(pts, 1.0)), [3.0, 1.0], atol=1e-12
+        )
+
+    def test_linear_bezier_is_line(self):
+        pts = ((0.0, 0.0), (2.0, 2.0))
+        np.testing.assert_allclose(
+            np.asarray(bezier_curve(pts, 0.25)), [0.5, 0.5], rtol=1e-12
+        )
+
+    def test_bead_stays_on_parameter_range(self):
+        ex = bezier()
+        out = evolve_ham_fixed(ex.system, ex.init_phase, 0.005, 2000,
+                               method="gauss4", emit_every=100)
+        t = np.asarray(out.q[:, 0])
+        assert np.all(t > -0.5) and np.all(t < 1.5)
+
+    def test_requires_points(self):
+        with pytest.raises(ValueError):
+            bezier(points=())
+
+
+class TestChain:
+    def test_small_chain_energy_conservation(self):
+        ex = chain(n_links=5, theta0=0.3)
+        ph0 = ex.init_phase
+        h0 = float(hamiltonian(ex.system, ph0))
+        out = evolve_ham_fixed(ex.system, ph0, 0.002, 1000,
+                               method="gauss4", emit_every=500, iters=8)
+        h = float(hamiltonian(ex.system, Phase(out.q[-1], out.p[-1])))
+        assert abs((h - h0) / h0) < 1e-8
+
+    def test_20_link_stress_config_steps(self):
+        """BASELINE configs[3]: System 40 20 — one fixed step runs finite."""
+        ex = chain(n_links=20)
+        assert (ex.m, ex.n) == (40, 20)
+        out = evolve_ham_fixed(ex.system, ex.init_phase, 0.001, 10,
+                               method="gauss4", emit_every=10)
+        assert np.all(np.isfinite(np.asarray(out.q)))
+
+    def test_chain2_matches_equal_length_double_pendulum(self):
+        """chain(2) with unit lengths is the double pendulum with an
+        equal-length second arm; cross-check hamEqs via a custom system."""
+        from hamilton_tpu import ham_eqs, mk_system_cart
+
+        ex = chain(n_links=2, theta0=0.4)
+
+        def coords(q):
+            t1, t2 = q[0], q[1]
+            return jnp.stack([
+                jnp.sin(t1), 1 - jnp.cos(t1),
+                jnp.sin(t1) + jnp.sin(t2), 2 - jnp.cos(t1) - jnp.cos(t2),
+            ])
+
+        sys2 = mk_system_cart(
+            jnp.array([1.0, 1.0, 1.0, 1.0]), coords,
+            lambda x: 5.0 * (x[1] + x[3]), n=2,
+        )
+        ph = Phase(jnp.array([0.4, 0.4]), jnp.array([0.1, -0.2]))
+        dq_a, dp_a = ham_eqs(ex.system, ph)
+        dq_b, dp_b = ham_eqs(sys2, ph)
+        # chain's y_i uses Σ(1−cos) (offset differs by a constant → same dynamics)
+        np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_b), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(dp_a), np.asarray(dp_b), rtol=1e-10)
+
+
+def test_get_example_unknown():
+    with pytest.raises(KeyError):
+        get_example("warp_drive")

@@ -1,0 +1,231 @@
+"""Integrator tests: convergence order, energy conservation, API semantics.
+
+Covers SURVEY.md §4 items (a) energy conservation over long horizons,
+(d) trajectory parity (vs a tight-tolerance self-oracle here; GSL-native
+parity lives in test_native.py), (f) closed-form dynamics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hamilton_tpu import (
+    Config,
+    Phase,
+    evolve_ham,
+    evolve_ham_c,
+    evolve_ham_c_list,
+    evolve_ham_fixed,
+    evolve_ham_list,
+    hamiltonian,
+    mk_system_cart,
+    step_ham,
+    step_ham_c,
+    to_phase,
+    from_phase,
+)
+from hamilton_tpu.integrators.fixed import FIXED_METHODS, make_stepper
+from hamilton_tpu.models import double_pendulum, pendulum, two_body
+
+DP = double_pendulum()
+PEND = pendulum(theta0=0.1, omega0=0.0)
+
+
+def ref_trajectory(system, phase0, ts):
+    """High-accuracy oracle: adaptive dopri5 at very tight tolerance."""
+    return evolve_ham(
+        system, phase0, ts, eps_abs=1e-13, eps_rel=1e-13, method="dopri5"
+    )
+
+
+class TestEvolveSemantics:
+    def test_evolve_ham_first_output_is_initial(self):
+        ph0 = DP.init_phase
+        out = evolve_ham(DP.system, ph0, jnp.linspace(0.0, 0.5, 6))
+        np.testing.assert_allclose(np.asarray(out.q[0]), np.asarray(ph0.q))
+        np.testing.assert_allclose(np.asarray(out.p[0]), np.asarray(ph0.p))
+
+    def test_evolve_ham_requires_two_times(self):
+        with pytest.raises(ValueError):
+            evolve_ham(DP.system, DP.init_phase, jnp.array([0.5]))
+
+    def test_evolve_ham_list_empty(self):
+        assert evolve_ham_list(DP.system, DP.init_phase, []) == []
+
+    def test_evolve_ham_list_singleton_quirk(self):
+        """[x] pads to [0, x] and returns only the endpoint (Hamilton.hs:427-429)."""
+        single = evolve_ham_list(DP.system, DP.init_phase, [0.3])
+        assert len(single) == 1
+        pair = evolve_ham(DP.system, DP.init_phase, jnp.array([0.0, 0.3]))
+        np.testing.assert_allclose(
+            np.asarray(single[0].q), np.asarray(pair.q[1]), rtol=1e-12
+        )
+
+    def test_evolve_ham_list_matches_evolve_ham(self):
+        ts = [0.0, 0.1, 0.2, 0.3]
+        lst = evolve_ham_list(DP.system, DP.init_phase, ts)
+        vec = evolve_ham(DP.system, DP.init_phase, jnp.asarray(ts))
+        assert len(lst) == 4
+        for i in range(4):
+            np.testing.assert_allclose(
+                np.asarray(lst[i].q), np.asarray(vec.q[i]), rtol=1e-12
+            )
+
+    def test_step_ham_equals_evolve_endpoint(self):
+        """stepHam dt = evolveHam over (0, dt) index 1 (Hamilton.hs:400-402)."""
+        stepped = step_ham(DP.system, DP.init_phase, 0.25)
+        pair = evolve_ham(DP.system, DP.init_phase, jnp.array([0.0, 0.25]))
+        np.testing.assert_allclose(
+            np.asarray(stepped.q), np.asarray(pair.q[1]), rtol=1e-12
+        )
+
+    def test_config_space_wrappers(self):
+        """C-variants = fromPhase ∘ phase-op ∘ toPhase (Hamilton.hs:470-515)."""
+        c0 = DP.init_config
+        c1 = step_ham_c(DP.system, c0, 0.2)
+        ph1 = step_ham(DP.system, to_phase(DP.system, c0), 0.2)
+        expect = from_phase(DP.system, ph1)
+        np.testing.assert_allclose(np.asarray(c1.q), np.asarray(expect.q), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(c1.v), np.asarray(expect.v), rtol=1e-12)
+
+        ts = jnp.array([0.0, 0.1, 0.2])
+        cs = evolve_ham_c(DP.system, c0, ts)
+        assert cs.q.shape == (3, 2)
+        cs_list = evolve_ham_c_list(DP.system, c0, [0.0, 0.1, 0.2])
+        np.testing.assert_allclose(
+            np.asarray(cs_list[2].q), np.asarray(cs.q[2]), rtol=1e-12
+        )
+
+    def test_jit_evolve(self):
+        fn = jax.jit(
+            lambda ph: evolve_ham(DP.system, ph, jnp.array([0.0, 0.1, 0.2]))
+        )
+        out = fn(DP.init_phase)
+        assert out.q.shape == (3, 2)
+        out2 = evolve_ham(DP.system, DP.init_phase, jnp.array([0.0, 0.1, 0.2]))
+        np.testing.assert_allclose(np.asarray(out.q), np.asarray(out2.q), rtol=1e-12)
+
+
+class TestAccuracy:
+    def test_rkf45_matches_tight_oracle_double_pendulum(self):
+        """README.md:124-143 setup over [0, 0.1 .. 1]: default-tolerance RKF45
+        must track a 1e-13-tolerance oracle to well under 1e-6."""
+        ph0 = to_phase(DP.system, Config(jnp.array([1.0, 0.0]), jnp.array([0.0, 0.5])))
+        ts = jnp.arange(0.0, 1.05, 0.1)
+        got = evolve_ham(DP.system, ph0, ts, method="rkf45")
+        ref = ref_trajectory(DP.system, ph0, ts)
+        np.testing.assert_allclose(
+            np.asarray(got.q), np.asarray(ref.q), atol=5e-7
+        )
+
+    def test_small_angle_pendulum_period(self):
+        """SURVEY §4 (f): small-angle period T = 2π/√g with U = y, l = 1."""
+        g = 1.0  # pendulum example has U = y → effective g = 1 for ml²=1
+        amp = 1e-3
+        ex = pendulum(theta0=amp, omega0=0.0)
+        period = 2 * np.pi / np.sqrt(g)
+        ts = jnp.array([0.0, period])
+        out = evolve_ham(ex.system, ex.init_phase, ts)
+        # after one period the angle returns to amp (to O(amp^3) anharmonicity)
+        np.testing.assert_allclose(float(out.q[1, 0]), amp, rtol=1e-3)
+
+    def test_kepler_orbit_closes(self):
+        """SURVEY §4 (f): bound two-body orbit returns to its initial state
+        after one radial period (Kepler orbits close)."""
+        ex = two_body(m1=5.0, m2=0.5, omega0=0.5)
+        ph0 = ex.init_phase
+        h0 = float(hamiltonian(ex.system, ph0))
+        assert h0 < 0, "test setup must be a bound orbit"
+        # semimajor axis & period from vis-viva: E = −G m1 m2 / (2a), G=1
+        mu = (5.0 + 0.5)  # G(m1+m2) with G=1
+        m1, m2 = 5.0, 0.5
+        a = -(m1 * m2) / (2 * h0)
+        period = 2 * np.pi * np.sqrt(a**3 / mu)
+        out = evolve_ham(ex.system, ph0, jnp.array([0.0, period]), method="dopri5",
+                         eps_abs=1e-12, eps_rel=1e-12)
+        np.testing.assert_allclose(float(out.q[1, 0]), float(ph0.q[0]), rtol=1e-5)
+
+    @pytest.mark.parametrize("method,order", [("rk4", 4), ("midpoint", 2),
+                                              ("gauss4", 4), ("leapfrog", 2),
+                                              ("yoshida4", 4), ("tao2", 2)])
+    def test_fixed_step_convergence_order(self, method, order):
+        """Each fixed-step method converges at its nominal order on the
+        double pendulum (non-separable H — the hard case)."""
+        ph0 = DP.init_phase
+        t_end = 0.4
+        ref = ref_trajectory(DP.system, ph0, jnp.array([0.0, t_end]))
+        ref_q = np.asarray(ref.q[1])
+        errs = []
+        for n in (40, 80):
+            out = evolve_ham_fixed(
+                DP.system, ph0, t_end / n, n, method=method, emit_every=n,
+                iters=10, omega=50.0,
+            )
+            errs.append(np.max(np.abs(np.asarray(out.q[-1]) - ref_q)))
+        rate = np.log2(errs[0] / errs[1])
+        assert rate > order - 0.55, f"{method}: observed rate {rate:.2f}, errs {errs}"
+
+
+class TestEnergyConservation:
+    @pytest.mark.parametrize("method", ["leapfrog", "midpoint", "gauss4", "gauss6",
+                                        "yoshida4", "tao4"])
+    def test_symplectic_bounded_drift_double_pendulum(self, method):
+        """Symplectic members keep |ΔH/H₀| bounded and small over a long
+        horizon on the chaotic double pendulum."""
+        ph0 = DP.init_phase
+        h0 = float(hamiltonian(DP.system, ph0))
+        n, dt = 4000, 0.005  # t = 20
+        out = evolve_ham_fixed(
+            DP.system, ph0, dt, n, method=method, emit_every=100, iters=8, omega=40.0
+        )
+        hs = jax.vmap(lambda q, p: hamiltonian(DP.system, Phase(q, p)))(out.q, out.p)
+        drift = np.max(np.abs((np.asarray(hs) - h0) / h0))
+        # order-2 members at dt=5e-3: drift ~ O(dt²·C); yoshida4/tao4 are
+        # order 4 with large error constants; gauss members are the tightest
+        limit = {"leapfrog": 2e-3, "midpoint": 2e-3, "tao4": 2e-3,
+                 "yoshida4": 5e-5, "gauss4": 5e-6, "gauss6": 5e-8}[method]
+        assert drift < limit, f"{method}: drift {drift:.2e}"
+
+    def test_gauss4_drift_tiny_at_small_dt(self):
+        """The headline-metric regime: gauss4 at dt=1e-3 over 10⁴ steps keeps
+        drift far below 1e-6 (the 10⁵-step version runs in the benchmark)."""
+        ph0 = DP.init_phase
+        h0 = float(hamiltonian(DP.system, ph0))
+        out = evolve_ham_fixed(
+            DP.system, ph0, 1e-3, 10_000, method="gauss4", emit_every=1000, iters=6
+        )
+        hs = jax.vmap(lambda q, p: hamiltonian(DP.system, Phase(q, p)))(out.q, out.p)
+        drift = np.max(np.abs((np.asarray(hs) - h0) / h0))
+        assert drift < 1e-9, f"gauss4 drift {drift:.2e}"
+
+    def test_rk4_drifts_more_than_gauss4(self):
+        """Sanity: the non-symplectic member drifts secularly; the symplectic
+        one doesn't (the reason the TPU path defaults to gauss4)."""
+        ph0 = DP.init_phase
+        h0 = float(hamiltonian(DP.system, ph0))
+
+        def drift_of(method):
+            out = evolve_ham_fixed(
+                DP.system, ph0, 0.01, 2000, method=method, emit_every=2000, iters=8
+            )
+            h = float(hamiltonian(DP.system, Phase(out.q[-1], out.p[-1])))
+            return abs((h - h0) / h0)
+
+        assert drift_of("gauss4") < drift_of("rk4") + 1e-12
+
+
+class TestStepperRegistry:
+    def test_all_methods_construct_and_step(self):
+        ph0 = PEND.init_phase
+        for method in FIXED_METHODS:
+            st = make_stepper(PEND.system, method, iters=4, omega=10.0)
+            carry = st.init(ph0)
+            carry = st.step(carry, jnp.asarray(0.01))
+            out = st.extract(carry)
+            assert out.q.shape == ph0.q.shape
+            assert np.all(np.isfinite(np.asarray(out.q)))
+
+    def test_unknown_method_raises(self):
+        with pytest.raises(ValueError):
+            make_stepper(PEND.system, "nope")

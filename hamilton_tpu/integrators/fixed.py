@@ -141,34 +141,55 @@ def _gauss_stepper(system: System, tab: Tableau, iters: int) -> Stepper:
 
 
 def _leapfrog_stepper(system: System, iters: int) -> Stepper:
-    def hq(q, p):
-        """−ṗ = ∂H/∂q at (q, p)."""
-        _, dp = ham_eqs(system, Phase(q, p))
-        return -dp
+    """Generalized Störmer-Verlet with **factor caching**: the p½ fixed-point
+    loop holds q = q₀, so J/Cholesky(K)/∇U are factorized once (`QFactor`)
+    and each iteration costs only a pair of triangular substitutions plus one
+    VJP sweep.  The end-of-step factorization at q₁ doubles as the next
+    step's q₀ factor, so the carry is ``(Phase, QFactor)`` — one
+    factorization per q-loop iteration plus one per step, total, versus the
+    naive scheme's 2·iters + 2 full dynamics evaluations."""
 
-    def hp(q, p):
-        """q̇ = ∂H/∂p at (q, p)."""
-        dq, _ = ham_eqs(system, Phase(q, p))
-        return dq
+    from hamilton_tpu.mechanics import (
+        dhdp_factored,
+        dhdq_factored,
+        q_factor,
+    )
 
-    def step(ph: Phase, dt) -> Phase:
+    def hp_fresh(q, p):
+        """q̇ at a fresh q (inside the q-loop; needs its own factorization
+        but not ∂H/∂q, so skip the ∇U/VJP work)."""
+        j = system.jacobian(q)
+        k_mat = j.T @ (system.inertia[:, None] * j)
+        from hamilton_tpu.ops.linalg import small_cholesky, small_cho_solve
+
+        return small_cho_solve(small_cholesky(k_mat), p)
+
+    def init(ph: Phase):
+        return (ph, q_factor(system, ph.q))
+
+    def step(carry, dt):
+        ph, fac0 = carry
         q0, p0 = ph.q, ph.p
         half = dt / 2
-        # p½ = p0 − h/2 · H_q(q0, p½)   (implicit in p½; fori_loop keeps one
-        # ham_eqs instance in the graph instead of `iters` copies)
+        # p½ = p0 − h/2 · H_q(q0, p½)   (implicit; cached factor at q0)
         ph_half = jax.lax.fori_loop(
-            0, iters, lambda _, pk: p0 - half * hq(q0, pk), p0
+            0, iters,
+            lambda _, pk: p0 - half * dhdq_factored(system, fac0, q0, pk),
+            p0,
         )
         # q1 = q0 + h/2 · (H_p(q0, p½) + H_p(q1, p½))   (implicit in q1)
-        v0 = hp(q0, ph_half)
+        v0 = dhdp_factored(fac0, ph_half)
         q1 = jax.lax.fori_loop(
-            0, iters, lambda _, qk: q0 + half * (v0 + hp(qk, ph_half)), q0 + dt * v0
+            0, iters,
+            lambda _, qk: q0 + half * (v0 + hp_fresh(qk, ph_half)),
+            q0 + dt * v0,
         )
-        # p1 = p½ − h/2 · H_q(q1, p½)
-        p1 = ph_half - half * hq(q1, ph_half)
-        return Phase(q1, p1)
+        # p1 = p½ − h/2 · H_q(q1, p½); the q1 factor carries to the next step
+        fac1 = q_factor(system, q1)
+        p1 = ph_half - half * dhdq_factored(system, fac1, q1, ph_half)
+        return (Phase(q1, p1), fac1)
 
-    return Stepper(lambda p: p, step, lambda p: p, order=2, symplectic=True)
+    return Stepper(init, step, lambda c: c[0], order=2, symplectic=True)
 
 
 # ----------------------------------------------------------------------

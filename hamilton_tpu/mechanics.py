@@ -23,9 +23,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from typing import NamedTuple
+
 from hamilton_tpu.state import Config, Phase
 from hamilton_tpu.system import System
-from hamilton_tpu.ops.linalg import spd_solve
+from hamilton_tpu.ops.linalg import small_cholesky, small_cho_solve, spd_solve
 
 __all__ = [
     "mass_matrix",
@@ -40,6 +42,10 @@ __all__ = [
     "hamiltonian",
     "ham_eqs",
     "ham_rhs",
+    "QFactor",
+    "q_factor",
+    "dhdp_factored",
+    "dhdq_factored",
 ]
 
 
@@ -146,6 +152,48 @@ def ham_eqs(system: System, phase: Phase) -> Tuple[jax.Array, jax.Array]:
     dtdq = -vjp_fn(u)[0]  # −(MJw)ᵀ ∂J/∂q_k w   (:382-385)
     dhdq = dtdq + system.potential_grad(q)  # (:387)
     return w, -dhdq
+
+
+class QFactor(NamedTuple):
+    """Position-dependent factorization of the dynamics, cacheable across any
+    computation that holds ``q`` fixed (the semi-implicit integrators' inner
+    fixed-point loops, and across consecutive leapfrog steps).
+
+    All fields are arrays, so a ``QFactor`` is a pytree leaf-bundle that can
+    be carried through ``scan``/``fori_loop``.
+    """
+
+    jac: jax.Array  # J(q), (m, n)
+    chol: jax.Array  # lower Cholesky factor of K(q) = JᵀMJ, (n, n)
+    grad_u: jax.Array  # ∇U(q), (n,)
+
+
+def q_factor(system: System, q: jax.Array) -> QFactor:
+    """Factorize the q-dependent parts of :func:`ham_eqs` once."""
+    j = system.jacobian(q)
+    k_mat = j.T @ (system.inertia[:, None] * j)
+    return QFactor(j, small_cholesky(k_mat), system.potential_grad(q))
+
+
+def dhdp_factored(factor: QFactor, p: jax.Array) -> jax.Array:
+    """``∂H/∂p = q̇ = K⁻¹p`` using a cached factor — one pair of triangular
+    substitutions, no refactorization."""
+    return small_cho_solve(factor.chol, p)
+
+
+def dhdq_factored(
+    system: System, factor: QFactor, q: jax.Array, p: jax.Array
+) -> jax.Array:
+    """``∂H/∂q`` using a cached factor: only the w-dependent VJP sweep is
+    recomputed (see :func:`ham_eqs` for the contraction identity)."""
+    w = small_cho_solve(factor.chol, p)
+    u = system.inertia * (factor.jac @ w)
+
+    def jw(qq):
+        return jax.jvp(system.coords, (qq,), (w,))[1]
+
+    _, vjp_fn = jax.vjp(jw, q)
+    return -vjp_fn(u)[0] + factor.grad_u
 
 
 def ham_rhs(system: System):

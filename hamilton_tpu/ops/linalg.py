@@ -17,14 +17,35 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["spd_solve", "spd_cholesky", "cholesky_solve"]
+__all__ = [
+    "spd_solve",
+    "spd_cholesky",
+    "cholesky_solve",
+    "small_cholesky",
+    "small_cho_solve",
+]
+
+
+#: Below this (static) size, solves avoid XLA's ``cholesky`` /
+#: ``triangular_solve`` entirely.  Rationale: XLA's batched lowering on TPU
+#: runs its sequential panel loop per matrix and is catastrophically slow for
+#: huge batches of tiny matrices (measured: 36 ms for a (16384, 20, 20) batch
+#: on v5e — ~25× the cost of everything else in a dynamics evaluation
+#: combined).  n ≤ 8 is fully unrolled into scalar ops (fused multiply-adds
+#: over the batch under ``vmap``); 8 < n ≤ 32 uses a masked right-looking
+#: ``fori_loop`` factorization (same vectorization, O(n)-size HLO so compile
+#: time stays flat when the solve is instantiated many times per step).
+UNROLL_LIMIT = 8
+SMALL_LIMIT = 32
 
 
 def spd_solve(k_mat: jax.Array, b: jax.Array) -> jax.Array:
     """Solve ``K x = b`` for SPD ``K`` of static size ``(n, n)``.
 
-    Dispatches on the static ``n``: closed forms for n ∈ {1, 2}, Cholesky
-    otherwise.  ``b`` may be ``(n,)`` or ``(n, k)``.
+    Dispatches on the static ``n``: closed forms for n ∈ {1, 2}, unrolled
+    Cholesky for n ≤ :data:`UNROLL_LIMIT`, masked-loop Cholesky for
+    n ≤ :data:`SMALL_LIMIT`, XLA Cholesky beyond.  ``b`` may be ``(n,)`` or
+    ``(n, k)``.
     """
     n = k_mat.shape[-1]
     if n == 1:
@@ -36,8 +57,132 @@ def spd_solve(k_mat: jax.Array, b: jax.Array) -> jax.Array:
         x0 = (c * b[..., 0] - bb * b[..., 1]) / det
         x1 = (a * b[..., 1] - bb * b[..., 0]) / det
         return jnp.stack([x0, x1], axis=-1)
+    if b.ndim == k_mat.ndim - 1:
+        if n <= UNROLL_LIMIT:
+            return _spd_solve_unrolled(k_mat, b)
+        if n <= SMALL_LIMIT:
+            low = _masked_cholesky(k_mat)
+            return _masked_cho_solve(low, b)
     chol = spd_cholesky(k_mat)
     return cholesky_solve(chol, b)
+
+
+def small_cholesky(k_mat: jax.Array) -> jax.Array:
+    """Lower Cholesky factor via the TPU-friendly small-n paths (masked loop
+    for n ≤ 32, XLA beyond).  The returned factor is a dense ``(..., n, n)``
+    array consumable by :func:`small_cho_solve` — and therefore carryable
+    through ``scan``/``fori_loop`` (the factor-caching used by the
+    generalized-leapfrog stepper)."""
+    n = k_mat.shape[-1]
+    if n <= SMALL_LIMIT:
+        return _masked_cholesky(k_mat)
+    return spd_cholesky(k_mat)
+
+
+def small_cho_solve(low: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve ``L Lᵀ x = b`` for a :func:`small_cholesky` factor."""
+    n = low.shape[-1]
+    if n <= SMALL_LIMIT and b.ndim == low.ndim - 1:
+        return _masked_cho_solve(low, b)
+    return cholesky_solve(low, b)
+
+
+def _masked_cholesky(k_mat: jax.Array) -> jax.Array:
+    """Right-looking Cholesky as an n-iteration ``fori_loop`` with masked
+    rank-1 updates — O(n³) batch-vectorized flops but O(n)-size HLO.
+
+    Returns the lower factor with zeros above the diagonal.
+    """
+    n = k_mat.shape[-1]
+    idx = jnp.arange(n)
+
+    def body(j, a):
+        d = jnp.sqrt(a[..., j, j])  # (...,)
+        col = a[..., j] / d[..., None]  # column j scaled: (..., n)
+        l_col = jnp.where(idx >= j, col, jnp.zeros_like(col))  # keep diag+below
+        below = idx > j
+        upd = l_col[..., :, None] * l_col[..., None, :]
+        keep = below[:, None] & below[None, :]
+        a = a - jnp.where(keep, upd, 0.0)
+        # freeze column j of the factor (rows above j are zeroed)
+        a = a.at[..., :, j].set(l_col)
+        return a
+
+    return jax.lax.fori_loop(0, n, body, k_mat)
+
+
+def _masked_cho_solve(low: jax.Array, b: jax.Array) -> jax.Array:
+    """Masked-loop forward/back substitution for :func:`_masked_cholesky`."""
+    n = low.shape[-1]
+    idx = jnp.arange(n)
+    diag = jnp.diagonal(low, axis1=-2, axis2=-1)  # (..., n)
+
+    def fwd(i, y):
+        row = low[..., i, :]  # (..., n)
+        s = jnp.sum(jnp.where(idx < i, row * y, 0.0), axis=-1)
+        return y.at[..., i].set((b[..., i] - s) / low[..., i, i])
+
+    y = jax.lax.fori_loop(0, n, fwd, jnp.zeros_like(b))
+
+    def bwd(k, x):
+        i = n - 1 - k
+        col = low[..., :, i]  # (..., n): Lᵀ row i
+        s = jnp.sum(jnp.where(idx > i, col * x, 0.0), axis=-1)
+        return x.at[..., i].set((y[..., i] - s) / low[..., i, i])
+
+    del diag
+    return jax.lax.fori_loop(0, n, bwd, jnp.zeros_like(b))
+
+
+def _unrolled_cholesky(k_mat: jax.Array):
+    """Unrolled lower Cholesky of a small static-n SPD matrix.
+
+    Returns ``(L, inv_diag)`` where ``L`` is a Python n×n list-of-lists of
+    batch-shaped scalars (entries above the diagonal are None) and
+    ``inv_diag[j] = 1/L[j][j]`` — the form the unrolled substitutions consume
+    without re-dividing.
+    """
+    n = k_mat.shape[-1]
+    low = [[None] * n for _ in range(n)]
+    inv_diag = [None] * n
+    for j in range(n):
+        s = k_mat[..., j, j]
+        for k in range(j):
+            s = s - low[j][k] * low[j][k]
+        d = jnp.sqrt(s)
+        low[j][j] = d
+        inv_d = 1.0 / d
+        inv_diag[j] = inv_d
+        for i in range(j + 1, n):
+            s = k_mat[..., i, j]
+            for k in range(j):
+                s = s - low[i][k] * low[j][k]
+            low[i][j] = s * inv_d
+    return low, inv_diag
+
+
+def _unrolled_cho_solve(low, inv_diag, b: jax.Array) -> jax.Array:
+    """Unrolled ``L Lᵀ x = b`` substitution for the factor form of
+    :func:`_unrolled_cholesky`."""
+    n = len(inv_diag)
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - low[i][k] * y[k]
+        y[i] = s * inv_diag[i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - low[k][i] * x[k]
+        x[i] = s * inv_diag[i]
+    return jnp.stack(x, axis=-1)
+
+
+def _spd_solve_unrolled(k_mat: jax.Array, b: jax.Array) -> jax.Array:
+    low, inv_diag = _unrolled_cholesky(k_mat)
+    return _unrolled_cho_solve(low, inv_diag, b)
 
 
 def spd_cholesky(k_mat: jax.Array) -> jax.Array:

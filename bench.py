@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Headline benchmark: ensemble throughput + long-horizon energy drift.
+
+BASELINE.md targets: a 16k-member, 20-DOF (20-link chain, ``System 40 20``)
+ensemble, 10⁵ steps, with ``max |ΔH/H₀| < 1e-6`` and >100× the throughput of
+a single-CPU trajectory.  The metric is **member-steps/second** on the real
+TPU, with ``vs_baseline`` the ratio against a single-trajectory CPU run of
+the same physics (the reference's own operating point: one trajectory, one
+CPU — SURVEY.md §2.4).
+
+Prints exactly ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}``.
+
+Phases (each independently fault-tolerant):
+  1. TPU f32 ensemble throughput (symplectic leapfrog, factor-cached).
+  2. f64 gauss4 energy drift over the full 10⁵-step horizon (1024 members —
+     drift is a per-member bound, so a smaller batch measures the same
+     thing faster).
+  3. CPU single-trajectory baseline (same chain-20 physics, same stepper,
+     batch=1 on the host CPU).
+
+Note: first-compile latency through this environment's remote-compile
+service is highly variable (30 s – 6 min for identical programs); the
+phases each compile exactly one graph.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _build(batch, dtype, n_links=20):
+    from hamilton_tpu.models import chain
+    from hamilton_tpu.state import Phase
+
+    ex = chain(n_links=n_links)
+    system = jax.tree_util.tree_map(lambda a: a.astype(dtype), ex.system)
+    ph0 = ex.init_phase
+    rng = np.random.default_rng(0)
+    # spread initial conditions so members decorrelate (parameter-sweep shape)
+    jitter = 0.01 * rng.standard_normal((batch, n_links)).astype(dtype)
+    ph = Phase(
+        jnp.asarray(np.asarray(ph0.q, dtype=dtype) + jitter),
+        jnp.tile(jnp.asarray(ph0.p, dtype=dtype), (batch, 1)),
+    )
+    return system, ph
+
+
+def phase_throughput(args):
+    from hamilton_tpu.ensemble import evolve_ensemble_final
+
+    system, ph = _build(args.batch, jnp.float32)
+    dt = 1e-3
+
+    def run(p, n):
+        final, _ = evolve_ensemble_final(
+            system, p, dt, n, method=args.method, iters=args.iters,
+            track_drift=False, drift_every=n,
+        )
+        return final
+
+    run_j = jax.jit(run, static_argnums=1)
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_j(ph, args.warm_steps))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_j(ph, args.steps))
+    el = time.perf_counter() - t0
+    return {
+        "member_steps_per_sec": args.batch * args.steps / el,
+        "steps": args.steps,
+        "batch": args.batch,
+        "elapsed_s": round(el, 3),
+        "compile_s": round(compile_s, 1),
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def phase_drift(args):
+    from hamilton_tpu.ensemble import evolve_ensemble_final
+
+    with jax.enable_x64(True):
+        system, ph = _build(args.drift_batch, jnp.float64)
+        final, drift = jax.jit(
+            lambda p: evolve_ensemble_final(
+                system, p, 1e-3, args.drift_steps, method="gauss4",
+                iters=6, track_drift=True, drift_every=1000,
+            )
+        )(ph)
+        jax.block_until_ready(drift)
+        return {
+            "max_energy_drift": float(jnp.max(drift)),
+            "drift_steps": args.drift_steps,
+            "drift_batch": args.drift_batch,
+        }
+
+
+def phase_cpu_baseline(args):
+    """Single-trajectory steps/sec on the host CPU — the reference's
+    operating point (one trajectory, one CPU)."""
+    from hamilton_tpu.ensemble import evolve_ensemble_final
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        system, ph = _build(1, jnp.float32)
+        run = jax.jit(
+            lambda p, n: evolve_ensemble_final(
+                system, p, 1e-3, n, method=args.method, iters=args.iters,
+                track_drift=False, drift_every=n,
+            )[0],
+            static_argnums=1,
+        )
+        jax.block_until_ready(run(ph, 100))
+        n = 2000
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(ph, n))
+        el = time.perf_counter() - t0
+    return {"cpu_single_steps_per_sec": n / el}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--warm-steps", type=int, default=50)
+    ap.add_argument("--drift-steps", type=int, default=100_000)
+    ap.add_argument("--drift-batch", type=int, default=1024)
+    ap.add_argument("--method", default="leapfrog")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes for smoke testing")
+    ap.add_argument("--skip-drift", action="store_true")
+    args = ap.parse_args(argv)
+    if args.quick:
+        args.batch, args.steps = 4096, 500
+        args.drift_steps, args.drift_batch = 5000, 256
+
+    extras = {"method": args.method}
+    value = 0.0
+    vs_baseline = 0.0
+    try:
+        extras.update(phase_throughput(args))
+        value = extras["member_steps_per_sec"]
+    except Exception as e:  # pragma: no cover
+        extras["throughput_error"] = f"{type(e).__name__}: {e}"[:200]
+    if not args.skip_drift:
+        try:
+            extras.update(phase_drift(args))
+        except Exception as e:  # pragma: no cover
+            extras["drift_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        extras.update(phase_cpu_baseline(args))
+        if value and extras.get("cpu_single_steps_per_sec"):
+            vs_baseline = value / extras["cpu_single_steps_per_sec"]
+    except Exception as e:  # pragma: no cover
+        extras["baseline_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    out = {
+        "metric": "chain20_ensemble_member_steps_per_sec",
+        "value": round(value, 1),
+        "unit": "member-steps/s",
+        "vs_baseline": round(vs_baseline, 1),
+        **{k: v for k, v in extras.items()},
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

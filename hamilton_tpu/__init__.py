@@ -53,6 +53,9 @@ Beyond reference parity, first-class TPU-scale extensions live in
 from hamilton_tpu.state import Config, Phase
 from hamilton_tpu.system import System, mk_system, mk_system_cart, underlying_pos
 from hamilton_tpu.mechanics import (
+    QFactor,
+    dhdp_factored,
+    dhdq_factored,
     ham_eqs,
     hamiltonian,
     ke_c,
@@ -61,6 +64,7 @@ from hamilton_tpu.mechanics import (
     mass_matrix,
     momenta,
     pe,
+    q_factor,
     from_phase,
     to_phase,
     velocities,
@@ -74,7 +78,11 @@ from hamilton_tpu.integrators.evolve import (
     step_ham,
     step_ham_c,
 )
-from hamilton_tpu.ensemble import evolve_ensemble, evolve_ensemble_sharded
+from hamilton_tpu.ensemble import (
+    evolve_ensemble,
+    evolve_ensemble_final,
+    evolve_ensemble_sharded,
+)
 
 __version__ = "0.1.0"
 
@@ -104,6 +112,11 @@ __all__ = [
     "evolve_ham_c",
     "evolve_ham_c_list",
     "evolve_ensemble",
+    "evolve_ensemble_final",
     "evolve_ensemble_sharded",
+    "QFactor",
+    "q_factor",
+    "dhdp_factored",
+    "dhdq_factored",
     "__version__",
 ]

@@ -55,19 +55,22 @@ def evolve_ensemble(
     vector also carries a leading batch axis (mass/parameter sweeps) — the
     coordinate/potential functions stay shared.
     """
-    fn = partial(
-        evolve_ham_fixed,
-        dt=dt,
-        n_steps=n_steps,
-        method=method,
-        emit_every=emit_every,
-        iters=iters,
-        omega=omega,
+    if system_batched:
+        # inertia sweeps need per-member system leaves → vmap path (the
+        # dynamics then trace unbatched; fine for moderate sweep sizes)
+        fn = partial(
+            evolve_ham_fixed, dt=dt, n_steps=n_steps, method=method,
+            emit_every=emit_every, iters=iters, omega=omega,
+        )
+        sys_axes = jax.tree_util.tree_map(lambda _: 0, system)
+        out = jax.vmap(fn, in_axes=(sys_axes, 0))(system, phase0)
+        return Phase(jnp.swapaxes(out.q, 0, 1), jnp.swapaxes(out.p, 0, 1))
+    # shared system: the batch axis stays native, so the mechanics route the
+    # per-step SPD solves to the Pallas ensemble kernels on TPU
+    return evolve_ham_fixed(
+        system, phase0, dt, n_steps, method=method, emit_every=emit_every,
+        iters=iters, omega=omega,
     )
-    sys_axes = jax.tree_util.tree_map(lambda _: 0, system) if system_batched else None
-    out = jax.vmap(fn, in_axes=(sys_axes, 0))(system, phase0)
-    # vmap puts batch first: (batch, time, n) -> (time, batch, n)
-    return Phase(jnp.swapaxes(out.q, 0, 1), jnp.swapaxes(out.p, 0, 1))
 
 
 def evolve_ensemble_final(
@@ -93,28 +96,24 @@ def evolve_ensemble_final(
         raise ValueError(f"{n_steps=} not divisible by {drift_every=}")
     stepper = make_stepper(system, method, iters=iters, omega=omega)
     dt = jnp.asarray(dt, phase0.q.dtype)
-    ham_b = jax.vmap(lambda ph: hamiltonian(system, ph))
-
-    def single_init(ph):
-        return stepper.init(ph)
-
-    carry0 = jax.vmap(single_init)(phase0)
-    step_b = jax.vmap(lambda c: stepper.step(c, dt))
-    h0 = ham_b(phase0)
+    carry0 = stepper.init(phase0)  # batch-native: mechanics are batch-aware
+    h0 = hamiltonian(system, phase0)
     h_scale = jnp.maximum(jnp.abs(h0), 1.0)
 
     def chunk(state, _):
         carry, drift = state
-        carry = jax.lax.fori_loop(0, drift_every, lambda i, c: step_b(c), carry)
+        carry = jax.lax.fori_loop(
+            0, drift_every, lambda i, c: stepper.step(c, dt), carry
+        )
         if track_drift:
-            h = ham_b(jax.vmap(stepper.extract)(carry))
+            h = hamiltonian(system, stepper.extract(carry))
             drift = jnp.maximum(drift, jnp.abs(h - h0) / h_scale)
         return (carry, drift), None
 
     (carry, drift), _ = jax.lax.scan(
         chunk, (carry0, jnp.zeros_like(h0)), None, length=n_steps // drift_every
     )
-    final = jax.vmap(stepper.extract)(carry)
+    final = stepper.extract(carry)
     return final, (drift if track_drift else None)
 
 

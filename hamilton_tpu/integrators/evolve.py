@@ -142,6 +142,7 @@ def evolve_ham_fixed(
     iters: int = 6,
     omega: float = 20.0,
     unroll: int = 1,
+    remat: bool = False,
 ) -> Phase:
     """Fixed-step evolution: ``n_steps`` steps of size ``dt``, emitting every
     ``emit_every``-th state (scan-of-scans chunked emission, SURVEY.md §5
@@ -150,7 +151,11 @@ def evolve_ham_fixed(
     The TPU-first path with no reference analog: symplectic by default
     (``gauss4``) so long-horizon energy drift stays bounded.  Returns a
     :class:`Phase` whose leading axis has ``n_steps // emit_every + 1``
-    entries (the initial state first).  Works under ``vmap`` for ensembles.
+    entries (the initial state first).  States may carry leading batch axes
+    (the ensemble path), and everything is differentiable — set
+    ``remat=True`` to rematerialize each emission chunk in the backward pass
+    (memory ∝ emitted states instead of all steps) when differentiating
+    through long horizons.
 
     ``n_steps`` must be divisible by ``emit_every``.
     """
@@ -160,12 +165,18 @@ def evolve_ham_fixed(
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)
 
-    def chunk(carry, _):
+    def chunk_body(carry):
         def one(i, c):
             del i
             return stepper.step(c, dt)
 
-        carry = jax.lax.fori_loop(0, emit_every, one, carry, unroll=unroll)
+        return jax.lax.fori_loop(0, emit_every, one, carry, unroll=unroll)
+
+    if remat:
+        chunk_body = jax.checkpoint(chunk_body)
+
+    def chunk(carry, _):
+        carry = chunk_body(carry)
         return carry, stepper.extract(carry)
 
     _, emitted = jax.lax.scan(chunk, carry0, None, length=n_steps // emit_every)

@@ -109,28 +109,43 @@ def _explicit_rk_stepper(system: System, tab: Tableau) -> Stepper:
 def _gauss_stepper(system: System, tab: Tableau, iters: int) -> Stepper:
     rhs = _rhs(system)
     s = tab.stages
-    rhs_stages = jax.vmap(lambda q, p: ham_eqs(system, Phase(q, p)))
 
     def step(ph: Phase, dt) -> Phase:
         # Stage derivatives F_i, fixed-point iterated:
         #   F_i <- f(y + dt Σ_j a_ij F_j).
         # The iteration runs as a fori_loop (one ham_eqs instance in the
-        # compiled graph, not iters·s copies) with the s stages evaluated as
-        # one vmapped batch — both a compile-time and an MXU-utilization win.
+        # compiled graph, not iters·s copies) with the s stages folded into
+        # the leading batch axis of one ham_eqs call — both a compile-time
+        # and a vector-utilization win, and it keeps the ensemble batch axis
+        # visible to the Pallas solve kernels (stage·batch fused).
         a_mat = jnp.asarray(tab.a, dtype=ph.q.dtype)  # (s, s)
         b_vec = jnp.asarray(tab.b, dtype=ph.q.dtype)  # (s,)
         f0 = rhs(ph)
         fq0 = jnp.broadcast_to(f0.q, (s,) + f0.q.shape)
         fp0 = jnp.broadcast_to(f0.p, (s,) + f0.p.shape)
+        batch_shape = ph.q.shape[:-1]  # ensemble axes, possibly ()
+        n = ph.q.shape[-1]
+
+        def stage_combine(mat, fs):
+            # (s', s) × (s, ..., n) → (s', ..., n)
+            return jnp.tensordot(mat, fs, axes=(-1, 0))
 
         def body(_, fs):
             fq, fp = fs
-            qi = ph.q + dt * (a_mat @ fq)  # (s, n)
-            pi = ph.p + dt * (a_mat @ fp)
-            return rhs_stages(qi, pi)
+            qi = ph.q + dt * stage_combine(a_mat, fq)  # (s, ..., n)
+            pi = ph.p + dt * stage_combine(a_mat, fp)
+            # fold stages into the batch: (s, ..., n) → (s·B, n)
+            qf = qi.reshape((-1, n))
+            pf = pi.reshape((-1, n))
+            dq, dp = ham_eqs(system, Phase(qf, pf))
+            return dq.reshape(qi.shape), dp.reshape(pi.shape)
 
         fq, fp = jax.lax.fori_loop(0, iters, body, (fq0, fp0))
-        return Phase(ph.q + dt * (b_vec @ fq), ph.p + dt * (b_vec @ fp))
+        del batch_shape
+        return Phase(
+            ph.q + dt * stage_combine(b_vec[None, :], fq)[0],
+            ph.p + dt * stage_combine(b_vec[None, :], fp)[0],
+        )
 
     return Stepper(lambda p: p, step, lambda p: p, order=tab.order, symplectic=True)
 
@@ -155,14 +170,13 @@ def _leapfrog_stepper(system: System, iters: int) -> Stepper:
         q_factor,
     )
 
+    from hamilton_tpu.mechanics import velocities as _velocities
+
     def hp_fresh(q, p):
         """q̇ at a fresh q (inside the q-loop; needs its own factorization
-        but not ∂H/∂q, so skip the ∇U/VJP work)."""
-        j = system.jacobian(q)
-        k_mat = j.T @ (system.inertia[:, None] * j)
-        from hamilton_tpu.ops.linalg import small_cholesky, small_cho_solve
-
-        return small_cho_solve(small_cholesky(k_mat), p)
+        but not ∂H/∂q, so skip the ∇U/VJP work).  ``velocities`` is
+        batch-aware and Pallas-routed."""
+        return _velocities(system, Phase(q, p))
 
     def init(ph: Phase):
         return (ph, q_factor(system, ph.q))

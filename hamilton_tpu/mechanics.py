@@ -1,29 +1,31 @@
 """Mechanics core: mass matrix, state conversions, energies, Hamilton's equations.
 
 TPU-native analog of the reference's L2 layer (``Numeric/Hamilton.hs:256-387``).
-All functions here take *unbatched* states (trailing-axis ``(n,)`` vectors) and
-are pure — batching over ensembles is done with ``jax.vmap`` (see
-:mod:`hamilton_tpu.ensemble`), which XLA lowers to batched dense algebra that
-tiles onto the MXU.
+Every function here is **batch-aware**: states may carry arbitrary leading
+batch axes (``q: (..., n)``), and the batched paths route the small-SPD
+solves to the Pallas batch-in-registers kernels on TPU
+(:mod:`hamilton_tpu.ops.pallas_solve`) — the reference's per-trajectory
+BLAS/LAPACK calls become one fused vector op over the whole ensemble.
+(``jax.vmap`` over the unbatched path also works and is what user-level code
+gets when it vmaps; the native batch axis is what the ensemble hot loop uses
+so the Pallas kernels can engage.)
 
 Numerical upgrades over the reference (deliberate, SURVEY.md §7):
 
 * the generalized mass matrix ``K = JᵀMJ`` is solved via **Cholesky**
-  (``cho_factor``/``cho_solve``) instead of the reference's explicit ``inv``
-  (``Numeric/Hamilton.hs:321,381``) — K is symmetric positive definite by
-  construction, and a Cholesky solve is both faster and numerically better;
-* the rank-3 Hessian contraction in ``hamEqs`` is one ``einsum`` instead of
-  the reference's n-way vector-of-matrices loop (``:382-385``).
+  (unrolled/masked/Pallas by size and batch) instead of the reference's
+  explicit ``inv`` (``Numeric/Hamilton.hs:321,381``) — K is symmetric
+  positive definite by construction;
+* the rank-3 Hessian contraction in ``hamEqs`` (``:382-385``) is replaced by
+  a VJP-of-JVP sweep that never materializes the ``m·n²`` tensor.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-
-from typing import NamedTuple
 
 from hamilton_tpu.state import Config, Phase
 from hamilton_tpu.system import System
@@ -49,32 +51,44 @@ __all__ = [
 ]
 
 
+def _vmap_leading(fn, ndim: int):
+    """vmap ``fn`` over ``ndim`` leading batch axes."""
+    for _ in range(ndim):
+        fn = jax.vmap(fn)
+    return fn
+
+
+def _jacobian(system: System, q: jax.Array) -> jax.Array:
+    """J(q) with leading batch axes: (..., m, n)."""
+    return _vmap_leading(system.jacobian, q.ndim - 1)(q)
+
+
+def _grad_u(system: System, q: jax.Array) -> jax.Array:
+    return _vmap_leading(system.potential_grad, q.ndim - 1)(q)
+
+
 def mass_matrix(system: System, q: jax.Array) -> jax.Array:
-    """Generalized mass matrix ``K(q) = J(q)ᵀ M J(q)``, shape ``(n, n)``.
+    """Generalized mass matrix ``K(q) = J(q)ᵀ M J(q)``, shape ``(..., n, n)``.
 
     The ``tr j <> diag m <> j`` product of the reference
-    (``Numeric/Hamilton.hs:324,380``), formed with the diagonal inertia applied
-    as a row scaling rather than materializing ``diag M``.
+    (``Numeric/Hamilton.hs:324,380``) with the diagonal inertia applied as a
+    scaling, batched over any leading axes.
     """
-    j = system.jacobian(q)
-    return j.T @ (system.inertia[:, None] * j)
+    j = _jacobian(system, q)
+    return jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j)
 
 
 def momenta(system: System, config: Config) -> jax.Array:
-    """Conjugate momenta ``p = JᵀMJ q̇`` from a configuration-space state.
-
-    Reference ``momenta`` (``Numeric/Hamilton.hs:262-269``).
-    """
-    j = system.jacobian(config.q)
-    return j.T @ (system.inertia * (j @ config.v))
+    """Conjugate momenta ``p = JᵀMJ q̇`` (reference ``momenta``,
+    ``Numeric/Hamilton.hs:262-269``), batch-aware."""
+    j = _jacobian(system, config.q)
+    jv = jnp.einsum("...mn,...n->...m", j, config.v)
+    return jnp.einsum("...mn,...m->...n", j, system.inertia * jv)
 
 
 def velocities(system: System, phase: Phase) -> jax.Array:
-    """Generalized velocities ``q̇ = (JᵀMJ)⁻¹ p`` from a phase-space state.
-
-    Reference ``velocities`` (``Numeric/Hamilton.hs:316-324``), with the
-    explicit ``inv`` replaced by a Cholesky solve.
-    """
+    """Generalized velocities ``q̇ = (JᵀMJ)⁻¹ p`` (reference ``velocities``,
+    ``Numeric/Hamilton.hs:316-324``) via Cholesky, batch-aware."""
     return spd_solve(mass_matrix(system, phase.q), phase.p)
 
 
@@ -91,24 +105,21 @@ def from_phase(system: System, phase: Phase) -> Config:
 
 
 def pe(system: System, q: jax.Array) -> jax.Array:
-    """Potential energy ``U(q)`` (reference ``pe``, ``Numeric/Hamilton.hs:182-186``)."""
-    return system.potential_value(q)
+    """Potential energy ``U(q)`` (reference ``pe``,
+    ``Numeric/Hamilton.hs:182-186``); shape ``(...)`` for ``q (..., n)``."""
+    return _vmap_leading(system.potential_value, jnp.asarray(q).ndim - 1)(q)
 
 
 def ke_c(system: System, config: Config) -> jax.Array:
-    """Kinetic energy from configuration space: ``⟨q̇, p⟩ / 2``.
-
-    Reference ``keC`` (``Numeric/Hamilton.hs:288-296``).
-    """
-    return jnp.dot(config.v, momenta(system, config)) / 2
+    """Kinetic energy from configuration space: ``⟨q̇, p⟩ / 2``
+    (reference ``keC``, ``Numeric/Hamilton.hs:288-296``)."""
+    return jnp.sum(config.v * momenta(system, config), axis=-1) / 2
 
 
 def ke_p(system: System, phase: Phase) -> jax.Array:
-    """Kinetic energy from phase space: ``⟨p, q̇⟩ / 2``.
-
-    Reference ``keP`` (``Numeric/Hamilton.hs:341-349``).
-    """
-    return jnp.dot(phase.p, velocities(system, phase)) / 2
+    """Kinetic energy from phase space: ``⟨p, q̇⟩ / 2``
+    (reference ``keP``, ``Numeric/Hamilton.hs:341-349``)."""
+    return jnp.sum(phase.p * velocities(system, phase), axis=-1) / 2
 
 
 def lagrangian(system: System, config: Config) -> jax.Array:
@@ -121,36 +132,37 @@ def hamiltonian(system: System, phase: Phase) -> jax.Array:
     return ke_p(system, phase) + pe(system, phase.q)
 
 
+def _dtdq(system: System, q: jax.Array, w: jax.Array, u: jax.Array) -> jax.Array:
+    """``∂T/∂q_k = −uᵀ (∂J/∂q_k) w`` as a VJP of ``q ↦ J(q)·w``.
+
+    The reference materializes the rank-3 ``∂J/∂q`` and loops its slices
+    (``Numeric/Hamilton.hs:382-385``); this computes the same contraction in
+    one reverse-over-forward AD sweep — O(cost(f)) work, O(m+n) memory.
+    """
+
+    def one(qi, wi, ui):
+        def jw(qq):
+            return jax.jvp(system.coords, (qq,), (wi,))[1]
+
+        _, vjp_fn = jax.vjp(jw, qi)
+        return -vjp_fn(ui)[0]
+
+    return _vmap_leading(one, q.ndim - 1)(q, w, u)
+
+
 def ham_eqs(system: System, phase: Phase) -> Tuple[jax.Array, jax.Array]:
     """Hamilton's equations: ``(q̇, ṗ) = (∂H/∂p, −∂H/∂q)``.
 
     The mathematical heart, mirroring reference ``hamEqs``
-    (``Numeric/Hamilton.hs:363-387``) with two structural upgrades:
-
-    * ``w = K⁻¹ p`` via an SPD Cholesky solve instead of the explicit ``inv``
-      (``:381``);
-    * the reference forms the full rank-3 Hessian ``∂J/∂q`` and contracts it
-      per-coordinate (``:382-385``).  That tensor has ``m·n²`` entries per
-      state — the dominant memory traffic at ensemble scale.  But the needed
-      contraction ``∂T/∂q_k = −(MJw)ᵀ (∂J/∂q_k) w`` is exactly the VJP of
-      ``g(q) = J(q)·w = jvp(f, q, w)`` with cotangent ``u = M⊙(Jw)`` (holding
-      ``w`` fixed), i.e. one reverse-over-forward AD sweep: O(cost(f)) work
-      and O(m+n) memory, never materializing the rank-3 object.
+    (``Numeric/Hamilton.hs:363-387``); batch-aware, with the SPD solve routed
+    to the Pallas ensemble kernel when a real batch axis is present on TPU.
     """
     q, p = phase.q, phase.p
-    mdiag = system.inertia
-    j = system.jacobian(q)  # (m, n)
-    k_mat = j.T @ (mdiag[:, None] * j)  # K = JᵀMJ
+    j = _jacobian(system, q)  # (..., m, n)
+    k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j)
     w = spd_solve(k_mat, p)  # q̇ = K⁻¹p  (∂H/∂p, :386)
-    u = mdiag * (j @ w)  # (m,)
-
-    def jw(qq):
-        # J(qq)·w as a JVP of the coordinate map (w held constant)
-        return jax.jvp(system.coords, (qq,), (w,))[1]
-
-    _, vjp_fn = jax.vjp(jw, q)
-    dtdq = -vjp_fn(u)[0]  # −(MJw)ᵀ ∂J/∂q_k w   (:382-385)
-    dhdq = dtdq + system.potential_grad(q)  # (:387)
+    u = system.inertia * jnp.einsum("...mn,...n->...m", j, w)
+    dhdq = _dtdq(system, q, w, u) + _grad_u(system, q)  # (:387)
     return w, -dhdq
 
 
@@ -159,41 +171,35 @@ class QFactor(NamedTuple):
     computation that holds ``q`` fixed (the semi-implicit integrators' inner
     fixed-point loops, and across consecutive leapfrog steps).
 
-    All fields are arrays, so a ``QFactor`` is a pytree leaf-bundle that can
-    be carried through ``scan``/``fori_loop``.
+    All fields are arrays (with leading batch axes matching ``q``), so a
+    ``QFactor`` is carryable through ``scan``/``fori_loop``.
     """
 
-    jac: jax.Array  # J(q), (m, n)
-    chol: jax.Array  # lower Cholesky factor of K(q) = JᵀMJ, (n, n)
-    grad_u: jax.Array  # ∇U(q), (n,)
+    jac: jax.Array  # J(q), (..., m, n)
+    chol: jax.Array  # lower Cholesky factor of K(q) = JᵀMJ, (..., n, n)
+    grad_u: jax.Array  # ∇U(q), (..., n)
 
 
 def q_factor(system: System, q: jax.Array) -> QFactor:
     """Factorize the q-dependent parts of :func:`ham_eqs` once."""
-    j = system.jacobian(q)
-    k_mat = j.T @ (system.inertia[:, None] * j)
-    return QFactor(j, small_cholesky(k_mat), system.potential_grad(q))
+    j = _jacobian(system, q)
+    k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j)
+    return QFactor(j, small_cholesky(k_mat), _grad_u(system, q))
 
 
 def dhdp_factored(factor: QFactor, p: jax.Array) -> jax.Array:
-    """``∂H/∂p = q̇ = K⁻¹p`` using a cached factor — one pair of triangular
-    substitutions, no refactorization."""
+    """``∂H/∂p = q̇ = K⁻¹p`` from a cached factor — substitutions only."""
     return small_cho_solve(factor.chol, p)
 
 
 def dhdq_factored(
     system: System, factor: QFactor, q: jax.Array, p: jax.Array
 ) -> jax.Array:
-    """``∂H/∂q`` using a cached factor: only the w-dependent VJP sweep is
-    recomputed (see :func:`ham_eqs` for the contraction identity)."""
+    """``∂H/∂q`` from a cached factor: only the w-dependent VJP sweep is
+    recomputed."""
     w = small_cho_solve(factor.chol, p)
-    u = system.inertia * (factor.jac @ w)
-
-    def jw(qq):
-        return jax.jvp(system.coords, (qq,), (w,))[1]
-
-    _, vjp_fn = jax.vjp(jw, q)
-    return -vjp_fn(u)[0] + factor.grad_u
+    u = system.inertia * jnp.einsum("...mn,...n->...m", factor.jac, w)
+    return _dtdq(system, q, w, u) + factor.grad_u
 
 
 def ham_rhs(system: System):

@@ -14,6 +14,8 @@ fuse into the surrounding computation.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +40,35 @@ __all__ = [
 UNROLL_LIMIT = 8
 SMALL_LIMIT = 32
 
+#: Minimum real batch size for dispatching to the Pallas batch-in-registers
+#: kernels (smaller batches aren't worth the tile padding to 1024).
+PALLAS_MIN_BATCH = 2048
+
+
+def _pallas_eligible(mat: jax.Array, b=None) -> bool:
+    """True when the batched small-SPD Pallas kernels should take this op:
+    a real (single) batch axis, small n, f32/bf16, a TPU-like backend, and a
+    batch big enough to amortize tile padding.  Note vmap-traced code sees
+    the *unbatched* shapes and so never routes here — only code holding a
+    native batch axis (the ensemble hot path) engages the kernels."""
+    if os.environ.get("HAMILTON_DISABLE_PALLAS"):
+        return False
+    if mat.ndim != 3:
+        return False
+    n = mat.shape[-1]
+    if not 3 <= n <= SMALL_LIMIT:
+        return False
+    if mat.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if b is not None and b.ndim != 2:
+        return False
+    if mat.shape[0] < PALLAS_MIN_BATCH:
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except RuntimeError:
+        return False
+
 
 def spd_solve(k_mat: jax.Array, b: jax.Array) -> jax.Array:
     """Solve ``K x = b`` for SPD ``K`` of static size ``(n, n)``.
@@ -49,7 +80,8 @@ def spd_solve(k_mat: jax.Array, b: jax.Array) -> jax.Array:
     """
     n = k_mat.shape[-1]
     if n == 1:
-        return b / k_mat[..., 0, 0]
+        # keep the trailing length-1 axis so leading batch axes broadcast
+        return b / k_mat[..., 0]
     if n == 2:
         a, c = k_mat[..., 0, 0], k_mat[..., 1, 1]
         bb = k_mat[..., 0, 1]
@@ -58,6 +90,10 @@ def spd_solve(k_mat: jax.Array, b: jax.Array) -> jax.Array:
         x1 = (a * b[..., 1] - bb * b[..., 0]) / det
         return jnp.stack([x0, x1], axis=-1)
     if b.ndim == k_mat.ndim - 1:
+        if _pallas_eligible(k_mat, b):
+            from hamilton_tpu.ops.pallas_solve import spd_solve_pallas
+
+            return spd_solve_pallas(k_mat, b)
         if n <= UNROLL_LIMIT:
             return _spd_solve_unrolled(k_mat, b)
         if n <= SMALL_LIMIT:
@@ -74,6 +110,10 @@ def small_cholesky(k_mat: jax.Array) -> jax.Array:
     through ``scan``/``fori_loop`` (the factor-caching used by the
     generalized-leapfrog stepper)."""
     n = k_mat.shape[-1]
+    if _pallas_eligible(k_mat):
+        from hamilton_tpu.ops.pallas_solve import cholesky_pallas
+
+        return cholesky_pallas(k_mat)
     if n <= SMALL_LIMIT:
         return _masked_cholesky(k_mat)
     return spd_cholesky(k_mat)
@@ -82,6 +122,10 @@ def small_cholesky(k_mat: jax.Array) -> jax.Array:
 def small_cho_solve(low: jax.Array, b: jax.Array) -> jax.Array:
     """Solve ``L Lᵀ x = b`` for a :func:`small_cholesky` factor."""
     n = low.shape[-1]
+    if _pallas_eligible(low, b):
+        from hamilton_tpu.ops.pallas_solve import cho_solve_pallas
+
+        return cho_solve_pallas(low, b)
     if n <= SMALL_LIMIT and b.ndim == low.ndim - 1:
         return _masked_cho_solve(low, b)
     return cholesky_solve(low, b)

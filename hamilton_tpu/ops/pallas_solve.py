@@ -1,0 +1,249 @@
+"""Pallas TPU kernels for batched tiny-SPD Cholesky factorization and solve.
+
+The make-or-break op of the whole framework (SURVEY.md §7 "Pallas batched
+tiny-dense kernels"): every dynamics evaluation solves ``K w = p`` with
+``K = JᵀMJ`` of size n×n (n ≤ ~32) for each of thousands of ensemble members.
+XLA's batched ``cholesky`` runs its sequential panel loop per matrix (36 ms
+for (16384, 20, 20) f32 on v5e); the masked-loop JAX fallback in
+:mod:`hamilton_tpu.ops.linalg` gets that to ~1.5 ms but pays O(n³) flops and
+loop overheads.
+
+These kernels use the *batch-in-registers* layout: members are laid out over
+the VPU's native (8, 128) sublane×lane tile, so each scalar of the n×n
+factorization is one fully-dense vector op over 1024 members.  The
+factorization loops are unrolled in Python over the static n (≈ n³/6 + n²
+vector ops), which Mosaic schedules back-to-back with no loop machinery.
+
+Layout transform (outside the kernel, fused by XLA into neighbors):
+
+    K: (B, n, n) → (G, n², 8, 128)   with member b = g·1024 + s·128 + l
+
+Public entry points pad B up to a multiple of 1024 with identity systems.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["spd_solve_pallas", "cholesky_pallas", "cho_solve_pallas", "TILE_B"]
+
+TILE_B = 8 * 128  # members per grid cell: one (8, 128) register tile
+
+
+def _to_tiles(x: jax.Array, entry_dims: int) -> jax.Array:
+    """(B, d1[, d2]) → (G, d1·d2, 8, 128)."""
+    b = x.shape[0]
+    entries = 1
+    for d in x.shape[1:]:
+        entries *= d
+    g = b // TILE_B
+    x = x.reshape(g, 8, 128, entries)
+    return jnp.moveaxis(x, 3, 1)  # (G, entries, 8, 128)
+
+
+def _from_tiles(x: jax.Array, trailing) -> jax.Array:
+    """(G, entries, 8, 128) → (B, *trailing)."""
+    g = x.shape[0]
+    x = jnp.moveaxis(x, 1, 3)  # (G, 8, 128, entries)
+    return x.reshape((g * TILE_B,) + tuple(trailing))
+
+
+def _chol_entries(k_at, n: int):
+    """Unrolled Cholesky on tile-valued entries.
+
+    ``k_at(i, j)`` returns the (8, 128) tile of K[i, j]; returns the lower
+    factor as a dict {(i, j): tile} plus reciprocal-diagonal tiles.
+    """
+    low = {}
+    inv_diag = [None] * n
+    for j in range(n):
+        s = k_at(j, j)
+        for k in range(j):
+            ljk = low[(j, k)]
+            s = s - ljk * ljk
+        d = jnp.sqrt(s)
+        low[(j, j)] = d
+        inv_d = 1.0 / d
+        inv_diag[j] = inv_d
+        for i in range(j + 1, n):
+            s = k_at(i, j)
+            for k in range(j):
+                s = s - low[(i, k)] * low[(j, k)]
+            low[(i, j)] = s * inv_d
+    return low, inv_diag
+
+
+def _solve_entries(low, inv_diag, b_at, n: int):
+    """Unrolled L Lᵀ x = b on tile-valued entries; returns list of x tiles."""
+    y = [None] * n
+    for i in range(n):
+        s = b_at(i)
+        for k in range(i):
+            s = s - low[(i, k)] * y[k]
+        y[i] = s * inv_diag[i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - low[(k, i)] * x[k]
+        x[i] = s * inv_diag[i]
+    return x
+
+
+def _solve_kernel(n: int, k_ref, b_ref, x_ref):
+    low, inv_diag = _chol_entries(lambda i, j: k_ref[i * n + j], n)
+    xs = _solve_entries(low, inv_diag, lambda i: b_ref[i], n)
+    for i in range(n):
+        x_ref[i] = xs[i]
+
+
+def _chol_kernel(n: int, k_ref, l_ref):
+    low, _ = _chol_entries(lambda i, j: k_ref[i * n + j], n)
+    for i in range(n):
+        for j in range(n):
+            l_ref[i * n + j] = low[(i, j)] if j <= i else jnp.zeros_like(low[(0, 0)])
+
+
+def _chosolve_kernel(n: int, l_ref, b_ref, x_ref):
+    low = {}
+    inv_diag = [None] * n
+    for i in range(n):
+        for j in range(i + 1):
+            low[(i, j)] = l_ref[i * n + j]
+        inv_diag[i] = 1.0 / low[(i, i)]
+    xs = _solve_entries(low, inv_diag, lambda i: b_ref[i], n)
+    for i in range(n):
+        x_ref[i] = xs[i]
+
+
+def _pad_batch(k_mat, vecs):
+    """Pad batch to a TILE_B multiple with identity systems / zero vectors."""
+    b, n = k_mat.shape[0], k_mat.shape[-1]
+    pad = (-b) % TILE_B
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=k_mat.dtype), (pad, n, n))
+        k_mat = jnp.concatenate([k_mat, eye], axis=0)
+        vecs = [
+            jnp.concatenate([v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+            for v in vecs
+        ]
+    return k_mat, vecs, b
+
+
+def _block_specs(n_in, n_out, entries_in, entries_out):
+    in_specs = [
+        pl.BlockSpec((1, e, 8, 128), lambda g, e=e: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for e in entries_in
+    ]
+    out_specs = [
+        pl.BlockSpec((1, e, 8, 128), lambda g, e=e: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for e in entries_out
+    ]
+    return in_specs, out_specs
+
+
+def _run(kernel_fn, inputs, entries_in, entries_out, dtype):
+    g = inputs[0].shape[0]
+    in_specs, out_specs = _block_specs(None, None, entries_in, entries_out)
+    out_shapes = [
+        jax.ShapeDtypeStruct((g, e, 8, 128), dtype) for e in entries_out
+    ]
+    squeeze = len(entries_out) == 1
+    result = pl.pallas_call(
+        kernel_fn,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=out_specs[0] if squeeze else tuple(out_specs),
+        out_shape=out_shapes[0] if squeeze else tuple(out_shapes),
+    )(*inputs)
+    return result
+
+
+def _kernel_wrap(fn, n):
+    """Adapt an entry-tile kernel to refs with a leading block axis of 1."""
+
+    def kernel(*refs):
+        views = [_RefView(r) for r in refs]
+        fn(n, *views)
+
+    return kernel
+
+
+class _RefView:
+    """Index adapter: ref[(i)] → ref[0, i] (drops the unit block axis)."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, idx):
+        return self._ref[0, idx]
+
+    def __setitem__(self, idx, val):
+        self._ref[0, idx] = val
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def spd_solve_pallas(k_mat: jax.Array, b: jax.Array) -> jax.Array:
+    """Fused factor+solve: ``x = K⁻¹ b`` for K (B, n, n) SPD, b (B, n).
+
+    f32/bf16 only; any B (padded internally to a multiple of 1024).
+    Differentiable via the standard SPD-solve adjoint (two more solves).
+    """
+    return _spd_solve_impl(k_mat, b)
+
+
+def _spd_solve_impl(k_mat, b):
+    n = k_mat.shape[-1]
+    k_pad, (b_pad,), b_orig = _pad_batch(k_mat, [b])
+    kt = _to_tiles(k_pad, 2)
+    bt = _to_tiles(b_pad, 1)
+    xt = _run(
+        _kernel_wrap(_solve_kernel, n), [kt, bt], [n * n, n], [n], k_mat.dtype
+    )
+    return _from_tiles(xt, (n,))[:b_orig]
+
+
+def _spd_fwd(k_mat, b):
+    x = _spd_solve_impl(k_mat, b)
+    return x, (k_mat, x)
+
+
+def _spd_bwd(res, g):
+    k_mat, x = res
+    gb = _spd_solve_impl(k_mat, g)  # K⁻¹ g  (K symmetric)
+    gk = -gb[..., :, None] * x[..., None, :]
+    return gk, gb
+
+
+spd_solve_pallas.defvjp(_spd_fwd, _spd_bwd)
+
+
+def cholesky_pallas(k_mat: jax.Array) -> jax.Array:
+    """Lower Cholesky factor for K (B, n, n) SPD, batch-in-registers."""
+    n = k_mat.shape[-1]
+    k_pad, _, b_orig = _pad_batch(k_mat, [])
+    kt = _to_tiles(k_pad, 2)
+    lt = _run(_kernel_wrap(_chol_kernel, n), [kt], [n * n], [n * n], k_mat.dtype)
+    return _from_tiles(lt, (n, n))[:b_orig]
+
+
+def cho_solve_pallas(low: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve ``L Lᵀ x = b`` for a batched lower factor (B, n, n)."""
+    n = low.shape[-1]
+    l_pad, (b_pad,), b_orig = _pad_batch(
+        # pad factor with identity (its "K" is identity too)
+        low, [b]
+    )
+    lt = _to_tiles(l_pad, 2)
+    bt = _to_tiles(b_pad, 1)
+    xt = _run(
+        _kernel_wrap(_chosolve_kernel, n), [lt, bt], [n * n, n], [n], low.dtype
+    )
+    return _from_tiles(xt, (n,))[:b_orig]

@@ -25,21 +25,15 @@ __all__ = [
 ]
 
 
-def _nest_vmap(fn, ndim_batch: int):
-    for _ in range(ndim_batch):
-        fn = jax.vmap(fn)
-    return fn
-
-
 def energies(system: System, phase: Phase) -> Dict[str, jax.Array]:
     """KE, PE, and H for a (arbitrarily batched) phase-space state.
 
     The demo-infobox trio (``app/Examples.hs:448-450``), vectorized: input
-    axes ``(..., n)`` give outputs of shape ``(...)``.
+    axes ``(..., n)`` give outputs of shape ``(...)``.  The mechanics
+    functions are batch-aware, so this is a direct call.
     """
-    nb = phase.q.ndim - 1
-    ke = _nest_vmap(lambda ph: ke_p(system, ph), nb)(phase)
-    pot = _nest_vmap(lambda ph: pe(system, ph.q), nb)(phase)
+    ke = ke_p(system, phase)
+    pot = pe(system, phase.q)
     return {"ke": ke, "pe": pot, "h": ke + pot}
 
 

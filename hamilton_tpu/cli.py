@@ -141,6 +141,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(default: [(-1.0,-1.0),(-2.0,1.0),(0.0,1.0),(1.0,-1.0),(2.0,1.0)])",
     )
 
+    el = sub.add_parser("ellipse", help="Bead on an ellipse under gravity")
+    el.add_argument("-a", type=float, default=2.0, metavar="SEMI", dest="a",
+                    help="Horizontal semi-axis (default: 2.0)")
+    el.add_argument("-b", type=float, default=1.0, metavar="SEMI", dest="b",
+                    help="Vertical semi-axis (default: 1.0)")
+    el.add_argument("-t", "--theta", type=float, default=2.0, metavar="RAD",
+                    help="Initial parameter angle in radians (default: 2.0)")
+
     ch = sub.add_parser("chain", help="N-link pendulum chain (TPU stress model)")
     ch.add_argument("-n", "--links", type=int, default=20, metavar="N",
                     help="Number of links (default: 20)")
@@ -177,6 +185,8 @@ def _example_from_args(args) -> Example:
         if not pts:
             raise SystemExit("At least one control point required")
         return get_example("bezier", points=pts)
+    if name == "ellipse":
+        return get_example("ellipse", a=args.a, b=args.b, theta0=args.theta)
     if name == "chain":
         return get_example("chain", n_links=args.links, theta0=args.angle)
     raise SystemExit(f"unknown example {name!r}")

@@ -100,18 +100,23 @@ def evolve_ensemble_final(
     h0 = hamiltonian(system, phase0)
     h_scale = jnp.maximum(jnp.abs(h0), 1.0)
 
-    def chunk(state, _):
+    # ONE flat loop (nested scan-of-fori de-optimizes ~5-11× on TPU); the
+    # drift sample is a cond-guarded computation every drift_every steps.
+    def body(i, state):
         carry, drift = state
-        carry = jax.lax.fori_loop(
-            0, drift_every, lambda i, c: stepper.step(c, dt), carry
-        )
+        carry = stepper.step(carry, dt)
         if track_drift:
-            h = hamiltonian(system, stepper.extract(carry))
-            drift = jnp.maximum(drift, jnp.abs(h - h0) / h_scale)
-        return (carry, drift), None
+            def sample(d):
+                h = hamiltonian(system, stepper.extract(carry))
+                return jnp.maximum(d, jnp.abs(h - h0) / h_scale)
 
-    (carry, drift), _ = jax.lax.scan(
-        chunk, (carry0, jnp.zeros_like(h0)), None, length=n_steps // drift_every
+            drift = jax.lax.cond(
+                (i + 1) % drift_every == 0, sample, lambda d: d, drift
+            )
+        return (carry, drift)
+
+    carry, drift = jax.lax.fori_loop(
+        0, n_steps, body, (carry0, jnp.zeros_like(h0))
     )
     final = stepper.extract(carry)
     return final, (drift if track_drift else None)

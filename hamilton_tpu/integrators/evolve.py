@@ -164,22 +164,41 @@ def evolve_ham_fixed(
     stepper = make_stepper(system, method, iters=iters, omega=omega)
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)
+    n_emit = n_steps // emit_every
 
-    def chunk_body(carry):
-        def one(i, c):
-            del i
-            return stepper.step(c, dt)
-
-        return jax.lax.fori_loop(0, emit_every, one, carry, unroll=unroll)
-
+    # ONE flat loop.  Nesting loops (scan-of-fori) de-optimizes the loop body
+    # ~5-11× on TPU, so emission is done with a cond-guarded
+    # dynamic_update_slice into a carried output buffer instead of an outer
+    # scan over chunks.
+    step_fn = (lambda c: stepper.step(c, dt))
     if remat:
-        chunk_body = jax.checkpoint(chunk_body)
+        step_fn = jax.checkpoint(step_fn)
 
-    def chunk(carry, _):
-        carry = chunk_body(carry)
-        return carry, stepper.extract(carry)
+    # the `+ 0 * phase0` keeps the buffer's device-variance type aligned with
+    # the state when running inside shard_map (cond branches must agree)
+    out0 = Phase(
+        jnp.zeros((n_emit,) + phase0.q.shape, phase0.q.dtype) + 0 * phase0.q[None],
+        jnp.zeros((n_emit,) + phase0.p.shape, phase0.p.dtype) + 0 * phase0.p[None],
+    )
 
-    _, emitted = jax.lax.scan(chunk, carry0, None, length=n_steps // emit_every)
+    def body(i, state):
+        carry, out = state
+        carry = step_fn(carry)
+        emit_slot = (i + 1) // emit_every - 1
+        do_emit = ((i + 1) % emit_every) == 0
+        ph_now = stepper.extract(carry)
+        zeros = (0,) * phase0.q.ndim
+
+        def write(o):
+            return Phase(
+                jax.lax.dynamic_update_slice(o.q, ph_now.q[None], (emit_slot,) + zeros),
+                jax.lax.dynamic_update_slice(o.p, ph_now.p[None], (emit_slot,) + zeros),
+            )
+
+        out = jax.lax.cond(do_emit, write, lambda o: o, out)
+        return (carry, out)
+
+    _, emitted = jax.lax.fori_loop(0, n_steps, body, (carry0, out0))
     q = jnp.concatenate([phase0.q[None], emitted.q], axis=0)
     p = jnp.concatenate([phase0.p[None], emitted.p], axis=0)
     return Phase(q, p)

@@ -130,7 +130,7 @@ def _gauss_stepper(system: System, tab: Tableau, iters: int) -> Stepper:
             # (s', s) × (s, ..., n) → (s', ..., n)
             return jnp.tensordot(mat, fs, axes=(-1, 0))
 
-        def body(_, fs):
+        def body(fs):
             fq, fp = fs
             qi = ph.q + dt * stage_combine(a_mat, fq)  # (s, ..., n)
             pi = ph.p + dt * stage_combine(a_mat, fp)
@@ -140,7 +140,15 @@ def _gauss_stepper(system: System, tab: Tableau, iters: int) -> Stepper:
             dq, dp = ham_eqs(system, Phase(qf, pf))
             return dq.reshape(qi.shape), dp.reshape(pi.shape)
 
-        fq, fp = jax.lax.fori_loop(0, iters, body, (fq0, fp0))
+        # The fixed-point iteration is UNROLLED (static small count): a
+        # fori_loop here nests inside the evolution's outer scan/fori, and
+        # nested while-loops de-optimize badly on TPU (measured 11× per-step
+        # regression for the whole stepper).  The body is compact (one
+        # batched ham_eqs), so iters-many copies keep the HLO small.
+        fs = (fq0, fp0)
+        for _ in range(iters):
+            fs = body(fs)
+        fq, fp = fs
         del batch_shape
         return Phase(
             ph.q + dt * stage_combine(b_vec[None, :], fq)[0],
@@ -182,22 +190,21 @@ def _leapfrog_stepper(system: System, iters: int) -> Stepper:
         return (ph, q_factor(system, ph.q))
 
     def step(carry, dt):
+        # Fixed-point iterations are UNROLLED (see the gauss stepper note:
+        # nested while-loops inside the evolution's outer loop de-optimize
+        # ~11× on TPU; each unrolled body is just a solve + a VJP sweep).
         ph, fac0 = carry
         q0, p0 = ph.q, ph.p
         half = dt / 2
         # p½ = p0 − h/2 · H_q(q0, p½)   (implicit; cached factor at q0)
-        ph_half = jax.lax.fori_loop(
-            0, iters,
-            lambda _, pk: p0 - half * dhdq_factored(system, fac0, q0, pk),
-            p0,
-        )
+        ph_half = p0
+        for _ in range(iters):
+            ph_half = p0 - half * dhdq_factored(system, fac0, q0, ph_half)
         # q1 = q0 + h/2 · (H_p(q0, p½) + H_p(q1, p½))   (implicit in q1)
         v0 = dhdp_factored(fac0, ph_half)
-        q1 = jax.lax.fori_loop(
-            0, iters,
-            lambda _, qk: q0 + half * (v0 + hp_fresh(qk, ph_half)),
-            q0 + dt * v0,
-        )
+        q1 = q0 + dt * v0
+        for _ in range(iters):
+            q1 = q0 + half * (v0 + hp_fresh(q1, ph_half))
         # p1 = p½ − h/2 · H_q(q1, p½); the q1 factor carries to the next step
         fac1 = q_factor(system, q1)
         p1 = ph_half - half * dhdq_factored(system, fac1, q1, ph_half)

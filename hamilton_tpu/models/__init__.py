@@ -23,6 +23,7 @@ from hamilton_tpu.models.two_body import two_body
 from hamilton_tpu.models.spring import spring
 from hamilton_tpu.models.bezier import bezier, bezier_curve
 from hamilton_tpu.models.chain import chain
+from hamilton_tpu.models.ellipse import ellipse
 
 #: Registry keyed by the reference CLI subcommand names (app/Examples.hs:201-227),
 #: plus the TPU-native ``chain`` stress model.
@@ -34,6 +35,7 @@ REGISTRY = {
     "spring": spring,
     "bezier": bezier,
     "chain": chain,
+    "ellipse": ellipse,
 }
 
 
@@ -57,6 +59,7 @@ __all__ = [
     "bezier",
     "bezier_curve",
     "chain",
+    "ellipse",
     "REGISTRY",
     "get_example",
 ]

@@ -30,7 +30,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["spd_solve_pallas", "cholesky_pallas", "cho_solve_pallas", "TILE_B"]
+__all__ = [
+    "spd_solve_pallas",
+    "cholesky_pallas",
+    "cho_solve_pallas",
+    "spd_solve_bt",
+    "cholesky_bt",
+    "cho_solve_bt",
+    "TILE_B",
+]
 
 TILE_B = 8 * 128  # members per grid cell: one (8, 128) register tile
 
@@ -187,6 +195,133 @@ class _RefView:
 
     def __setitem__(self, idx, val):
         self._ref[0, idx] = val
+
+
+# ---------------------------------------------------------------------------
+# Batch-minor ("bt") entry points — zero-copy tiling.
+#
+# The member-major (B, n, n) entry points below pay a strided relayout into
+# the (8, 128) register tiles (measured ~1.3 ms per dependent call at
+# (16384, 20, 20) — 25× the kernel compute).  When the caller keeps the
+# ensemble **batch-minor** — K as (n, n, B), vectors as (n, B) — the tile
+# view is a pure reshape: (n, n, B) → (n², G, 8, 128) moves no data, and the
+# BlockSpec walks the G axis directly.  This is the hot-loop path used by the
+# batched mechanics (ensemble-major layout).
+# ---------------------------------------------------------------------------
+
+
+def _bt_tiles(x: jax.Array) -> jax.Array:
+    """(d1[, d2], B) → (d1·d2, G, 8, 128) — a free reshape (B minor)."""
+    entries = 1
+    for d in x.shape[:-1]:
+        entries *= d
+    b = x.shape[-1]
+    return x.reshape(entries, b // TILE_B, 8, 128)
+
+
+def _bt_pad(x: jax.Array, diag_entries: bool = False) -> jax.Array:
+    """Pad the trailing batch axis to a TILE_B multiple.
+
+    ``diag_entries=True`` pads an (n, n, B) SPD stack with identity members
+    so the factorization stays finite in the padding lanes."""
+    b = x.shape[-1]
+    pad = (-b) % TILE_B
+    if not pad:
+        return x
+    if diag_entries:
+        n = x.shape[0]
+        eye = jnp.broadcast_to(
+            jnp.eye(n, dtype=x.dtype)[:, :, None], (n, n, pad)
+        )
+        return jnp.concatenate([x, eye], axis=-1)
+    return jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
+    )
+
+
+class _RefViewBT:
+    """Index adapter for bt blocks: ref[(i)] → ref[i, 0]."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, idx):
+        return self._ref[idx, 0]
+
+    def __setitem__(self, idx, val):
+        self._ref[idx, 0] = val
+
+
+def _kernel_wrap_bt(fn, n):
+    def kernel(*refs):
+        fn(n, *[_RefViewBT(r) for r in refs])
+
+    return kernel
+
+
+def _bt_run(kernel_fn, inputs, entries_out, dtype):
+    g = inputs[0].shape[1]
+    in_specs = [
+        pl.BlockSpec((x.shape[0], 1, 8, 128), lambda gg: (0, gg, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for x in inputs
+    ]
+    out_spec = pl.BlockSpec((entries_out, 1, 8, 128), lambda gg: (0, gg, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel_fn,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((entries_out, g, 8, 128), dtype),
+    )(*inputs)
+
+
+@jax.custom_vjp
+def spd_solve_bt(k_t: jax.Array, b_t: jax.Array) -> jax.Array:
+    """Fused factor+solve, batch-minor: ``K (n, n, B)``, ``b (n, B)`` →
+    ``x (n, B)``.  f32/bf16; any B (padded to a TILE_B multiple)."""
+    return _spd_solve_bt_impl(k_t, b_t)
+
+
+def _spd_solve_bt_impl(k_t, b_t):
+    n, b = k_t.shape[0], k_t.shape[-1]
+    kt = _bt_tiles(_bt_pad(k_t, diag_entries=True))
+    bt = _bt_tiles(_bt_pad(b_t))
+    xt = _bt_run(_kernel_wrap_bt(_solve_kernel, n), [kt, bt], n, k_t.dtype)
+    return xt.reshape(n, -1)[:, :b]
+
+
+def _spd_bt_fwd(k_t, b_t):
+    x = _spd_solve_bt_impl(k_t, b_t)
+    return x, (k_t, x)
+
+
+def _spd_bt_bwd(res, g):
+    k_t, x = res
+    gb = _spd_solve_bt_impl(k_t, g)
+    gk = -gb[:, None, :] * x[None, :, :]
+    return gk, gb
+
+
+spd_solve_bt.defvjp(_spd_bt_fwd, _spd_bt_bwd)
+
+
+def cholesky_bt(k_t: jax.Array) -> jax.Array:
+    """Lower Cholesky factor, batch-minor: (n, n, B) → (n, n, B)."""
+    n, b = k_t.shape[0], k_t.shape[-1]
+    kt = _bt_tiles(_bt_pad(k_t, diag_entries=True))
+    lt = _bt_run(_kernel_wrap_bt(_chol_kernel, n), [kt], n * n, k_t.dtype)
+    return lt.reshape(n, n, -1)[:, :, :b]
+
+
+def cho_solve_bt(l_t: jax.Array, b_t: jax.Array) -> jax.Array:
+    """Solve ``L Lᵀ x = b``, batch-minor: L (n, n, B), b (n, B) → (n, B)."""
+    n, b = l_t.shape[0], l_t.shape[-1]
+    lt = _bt_tiles(_bt_pad(l_t, diag_entries=True))
+    bt = _bt_tiles(_bt_pad(b_t))
+    xt = _bt_run(_kernel_wrap_bt(_chosolve_kernel, n), [lt, bt], n, l_t.dtype)
+    return xt.reshape(n, -1)[:, :b]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())

@@ -18,7 +18,7 @@ import numpy as np
 
 from hamilton_tpu.state import Phase
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "save_orbax", "load_orbax"]
 
 _META_KEY = "__hamilton_meta__"
 
@@ -65,3 +65,28 @@ def load_checkpoint(path: str, like=None) -> Tuple[Any, int, Dict[str, Any]]:
     else:
         state = leaves
     return state, meta["step"], meta["extra"]
+
+
+def save_orbax(path: str, state) -> None:
+    """Save a pytree with orbax (sharding-aware; for multi-host /
+    mesh-sharded ensemble state).  ``path`` must be a directory path."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_orbax(path: str, like=None):
+    """Restore a pytree saved with :func:`save_orbax`.  With ``like`` given,
+    restores into that structure (required to get custom pytrees like
+    :class:`~hamilton_tpu.state.Phase` back, and to control shardings)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if like is None:
+            return ckptr.restore(os.path.abspath(path))
+        import jax
+
+        return ckptr.restore(
+            os.path.abspath(path), args=ocp.args.PyTreeRestore(like)
+        )

@@ -69,7 +69,8 @@ def lyapunov_estimate(
     dq = traj_a.q - traj_b.q
     dp = traj_a.p - traj_b.p
     sep = jnp.sqrt(jnp.sum(dq**2 + dp**2, axis=-1))  # (time, ...)
-    log_sep = jnp.log(jnp.maximum(sep, 1e-300))
+    tiny = jnp.asarray(1e-300 if sep.dtype == jnp.float64 else 1e-37, sep.dtype)
+    log_sep = jnp.log(jnp.maximum(sep, tiny))
     t = jnp.arange(log_sep.shape[0], dtype=log_sep.dtype) * dt_emit
     t_mean = jnp.mean(t)
     shape = (-1,) + (1,) * (log_sep.ndim - 1)

@@ -70,6 +70,7 @@ def test_example_dims_match_reference():
         "spring": (3, 3),
         "bezier": (2, 1),
         "chain": (40, 20),
+        "ellipse": (2, 1),
     }
     for name, (m, n) in expect.items():
         ex = get_example(name)
@@ -229,3 +230,45 @@ class TestChain:
 def test_get_example_unknown():
     with pytest.raises(KeyError):
         get_example("warp_drive")
+
+
+class TestEllipse:
+    def test_circle_reduces_to_pendulum_dynamics(self):
+        """a = b = 1, g matched: bead-on-circle ≡ pendulum (System 2 1)."""
+        from hamilton_tpu import ham_eqs
+        from hamilton_tpu.models import ellipse
+
+        exE = ellipse(a=1.0, b=1.0, gravity=1.0, theta0=0.5)
+        exP = pendulum(theta0=0.5, omega0=0.0)
+        ph = Phase(jnp.array([0.5]), jnp.array([0.3]))
+        de = ham_eqs(exE.system, ph)
+        dp = ham_eqs(exP.system, ph)
+        np.testing.assert_allclose(np.asarray(de[0]), np.asarray(dp[0]), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(de[1]), np.asarray(dp[1]), rtol=1e-10)
+
+    def test_energy_conserved(self):
+        from hamilton_tpu.models import ellipse
+
+        ex = ellipse()
+        traj = evolve_ham_fixed(ex.system, ex.init_phase, 0.002, 2000,
+                                method="gauss4", emit_every=200)
+        from hamilton_tpu.utils import energy_drift
+
+        assert float(energy_drift(ex.system, traj)) < 1e-8
+
+
+class TestEnsembleSweepExample:
+    def test_sweep_example_runs(self):
+        import subprocess, sys, json as _json
+
+        out = subprocess.run(
+            [sys.executable, "examples/ensemble_sweep.py", "--batch", "16",
+             "--steps", "200", "--cpu", "--json"],
+            capture_output=True, text=True, timeout=300,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo", "HOME": "/root"},
+        )
+        assert out.returncode == 0, out.stderr
+        data = _json.loads(out.stdout.strip().splitlines()[-1])
+        assert data["batch"] == 16
+        assert data["max_energy_drift"] < 1e-3

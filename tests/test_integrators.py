@@ -229,3 +229,22 @@ class TestStepperRegistry:
     def test_unknown_method_raises(self):
         with pytest.raises(ValueError):
             make_stepper(PEND.system, "nope")
+
+
+class TestBatchedAdaptive:
+    def test_batched_evolve_shared_step(self):
+        """Adaptive evolve on a batched Phase: one shared step size
+        controlled by the worst member (the SURVEY §7 batched-adaptive
+        mitigation); per-member results still track per-member solves to
+        solver accuracy on a short horizon."""
+        ph0 = DP.init_phase
+        b = 3
+        q = jnp.stack([ph0.q + 0.001 * i for i in range(b)])
+        p = jnp.tile(ph0.p, (b, 1))
+        batched = evolve_ham(DP.system, Phase(q, p), jnp.array([0.0, 0.3]))
+        assert batched.q.shape == (2, b, 2)
+        for i in range(b):
+            single = evolve_ham(DP.system, Phase(q[i], p[i]), jnp.array([0.0, 0.3]))
+            np.testing.assert_allclose(
+                np.asarray(batched.q[1, i]), np.asarray(single.q[1]), atol=1e-6
+            )

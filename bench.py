@@ -84,22 +84,55 @@ def phase_throughput(args):
 
 
 def phase_drift(args):
+    """f64 gauss4 drift over the full horizon.
+
+    Energy drift is a property of the integrator + precision, not the chip;
+    f64 is emulated/unsupported on some TPU backends (this environment's
+    faults with a device error), so fall back to host CPU with a smaller
+    ensemble when the accelerator can't run f64.
+    """
     from hamilton_tpu.ensemble import evolve_ensemble_final
 
-    with jax.enable_x64(True):
-        system, ph = _build(args.drift_batch, jnp.float64)
-        final, drift = jax.jit(
-            lambda p: evolve_ensemble_final(
-                system, p, 1e-3, args.drift_steps, method="gauss4",
-                iters=6, track_drift=True, drift_every=1000,
+    import contextlib
+
+    def run(batch, device):
+        ctx = jax.default_device(device) if device is not None else contextlib.nullcontext()
+        with jax.enable_x64(True), ctx:
+            system, ph = _build(batch, jnp.float64)
+            fn = jax.jit(
+                lambda p: evolve_ensemble_final(
+                    system, p, 1e-3, args.drift_steps, method="gauss4",
+                    iters=6, track_drift=True, drift_every=1000,
+                )[1]
             )
-        )(ph)
-        jax.block_until_ready(drift)
-        return {
-            "max_energy_drift": float(jnp.max(drift)),
-            "drift_steps": args.drift_steps,
-            "drift_batch": args.drift_batch,
-        }
+            drift = fn(ph)
+            jax.block_until_ready(drift)
+            return float(jnp.max(drift))
+
+    steps = args.drift_steps
+    try:
+        value = run(args.drift_batch, None)
+        platform = jax.devices()[0].platform
+        batch = args.drift_batch
+    except Exception:
+        # Host fallback is ~1e4 member-steps/s; cap the horizon to keep the
+        # benchmark bounded.  Symplectic drift is a bounded oscillation (not
+        # secular), so the max over 2e4 steps is representative of 1e5.
+        cpu = jax.devices("cpu")[0]
+        batch = min(args.drift_batch, 16)
+        steps = min(args.drift_steps, 20_000)
+        args_steps, args.drift_steps = args.drift_steps, steps
+        try:
+            value = run(batch, cpu)
+        finally:
+            args.drift_steps = args_steps
+        platform = "cpu-fallback"
+    return {
+        "max_energy_drift": value,
+        "drift_steps": steps,
+        "drift_batch": batch,
+        "drift_platform": platform,
+    }
 
 
 def phase_cpu_baseline(args):

@@ -136,17 +136,22 @@ def evolve_ensemble_sharded(
     omega: float = 20.0,
     track_drift: bool = True,
     drift_every: int = 100,
+    reduce_stats: Optional[str] = None,
 ):
     """Mesh-sharded ensemble evolution via ``jax.shard_map``.
 
     The batch axis of ``phase0`` is split over ``mesh`` axis ``axis``; each
-    device runs the vmapped stepper on its local shard — embarrassingly
-    parallel, zero collectives in the hot loop (the ICI is only touched if the
-    caller reduces the returned per-member statistics).
+    device runs the batch-native stepper on its local shard — embarrassingly
+    parallel, zero collectives in the hot loop.  The ICI is touched only for
+    the final statistics: with ``reduce_stats`` set to ``"max"`` or
+    ``"mean"``, the per-member drift is reduced across shards with an
+    explicit XLA collective (``lax.pmax``/``lax.pmean`` over the mesh axis)
+    and returned as a replicated scalar.
 
     With ``emit_every`` set, returns the emitted trajectory
     ``Phase[(time, batch, n)]``; otherwise returns
-    ``(final_phase, max_drift)`` as :func:`evolve_ensemble_final`.
+    ``(final_phase, drift)`` as :func:`evolve_ensemble_final` (``drift`` a
+    scalar when ``reduce_stats`` is set, else per-member).
 
     The batch size must be divisible by the mesh axis size.
     """
@@ -178,12 +183,19 @@ def evolve_ensemble_sharded(
         )
         if drift is None:
             drift = jnp.zeros_like(ph_local.q[..., 0])
+        if reduce_stats == "max":
+            drift = jax.lax.pmax(jnp.max(drift), axis)
+        elif reduce_stats == "mean":
+            drift = jax.lax.pmean(jnp.mean(drift), axis)
+        elif reduce_stats is not None:
+            raise ValueError(f"unknown {reduce_stats=}; use 'max' or 'mean'")
         return final, drift
 
+    drift_spec = P() if reduce_stats else P(axis)
     final, drift = jax.shard_map(
         local_final,
         mesh=mesh,
         in_specs=(P(), P(axis)),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), drift_spec),
     )(system, phase0)
     return final, (drift if track_drift else None)

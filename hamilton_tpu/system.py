@@ -162,7 +162,40 @@ def mk_system(
       n: optional declared generalized dimension (runtime-checked on use).
       name: label for diagnostics.
     """
-    return System(inertia, coords, potential, n=n, name=name)
+    system = System(inertia, coords, potential, n=n, name=name)
+    if n is not None:
+        _validate_system(system, n)
+    return system
+
+
+def _validate_system(system: System, n: int) -> None:
+    """Shape-check the user functions with ``jax.eval_shape`` (no FLOPs, no
+    tracing side effects beyond shape propagation) — the runtime analog of
+    the reference's type-level dimension checking (SURVEY.md §2.3)."""
+    import jax
+
+    probe = jax.ShapeDtypeStruct((n,), system.inertia.dtype)
+    try:
+        out = jax.eval_shape(system.coords, probe)
+    except Exception as e:
+        raise ValueError(
+            f"coords function failed shape tracing on a ({n},) input: {e}"
+        ) from e
+    if tuple(out.shape) != (system.m,):
+        raise ValueError(
+            f"coords must map ({n},) -> ({system.m},) to match the inertia "
+            f"vector, got output shape {tuple(out.shape)}"
+        )
+    try:
+        u_out = jax.eval_shape(system.potential, probe)
+    except Exception as e:
+        raise ValueError(
+            f"potential function failed shape tracing on a ({n},) input: {e}"
+        ) from e
+    if tuple(u_out.shape) not in ((), (1,)):
+        raise ValueError(
+            f"potential must return a scalar, got shape {tuple(u_out.shape)}"
+        )
 
 
 def mk_system_cart(
@@ -178,9 +211,12 @@ def mk_system_cart(
     Analog of reference ``mkSystem'`` = ``mkSystem m f (u . f)``
     (``Numeric/Hamilton.hs:238-254``).
     """
-    return System(
+    system = System(
         inertia, coords, lambda q: potential_cart(coords(q)), n=n, name=name
     )
+    if n is not None:
+        _validate_system(system, n)
+    return system
 
 
 def underlying_pos(system: System, q: jax.Array) -> jax.Array:

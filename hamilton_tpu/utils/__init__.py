@@ -9,6 +9,7 @@ from hamilton_tpu.utils.observables import (
 )
 from hamilton_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from hamilton_tpu.utils.diagnostics import check_finite_phase, nan_guard
+from hamilton_tpu.utils.poincare import coordinate_section, poincare_section
 from hamilton_tpu.utils.profiling import benchmark_fn
 
 __all__ = [
@@ -21,4 +22,6 @@ __all__ = [
     "check_finite_phase",
     "nan_guard",
     "benchmark_fn",
+    "poincare_section",
+    "coordinate_section",
 ]

@@ -218,3 +218,29 @@ class TestStateValidation:
         ph2 = Phase.unflatten(y)
         np.testing.assert_allclose(np.asarray(ph2.q), [1, 2])
         np.testing.assert_allclose(np.asarray(ph2.p), [3, 4])
+
+
+class TestSystemValidation:
+    def test_wrong_output_dim_raises(self):
+        with pytest.raises(ValueError, match="coords must map"):
+            mk_system(
+                jnp.ones(3),
+                lambda q: jnp.stack([q[0], q[0]]),  # maps to m=2, inertia says 3
+                lambda q: 0.0,
+                n=1,
+            )
+
+    def test_nonscalar_potential_raises(self):
+        with pytest.raises(ValueError, match="potential must return a scalar"):
+            mk_system(jnp.ones(2), lambda q: q, lambda q: q, n=2)
+
+    def test_broken_coords_raises(self):
+        with pytest.raises(ValueError, match="failed shape tracing"):
+            mk_system(
+                jnp.ones(2), lambda q: q @ jnp.ones((3, 3)), lambda q: 0.0, n=2
+            )
+
+    def test_no_n_skips_validation(self):
+        # lazy construction (the reference behavior) still available
+        s = mk_system(jnp.ones(2), lambda q: q, lambda q: 0.0)
+        assert s.n is None

@@ -113,3 +113,44 @@ class TestProfiling:
         res = benchmark_fn(fn, runs=2)
         assert res.min_s >= 0 and res.runs == 2
         assert "compile" in str(res)
+
+
+class TestPoincare:
+    def test_pendulum_crossings_at_half_period(self):
+        """Small-angle pendulum crosses θ=0 upward once per period, with
+        crossing interval ≈ 2π (g=1, l=1)."""
+        from hamilton_tpu.models import pendulum
+        from hamilton_tpu.utils import coordinate_section, poincare_section
+
+        ex = pendulum(theta0=0.01, omega0=0.0)
+        dt, emit = 0.01, 2
+        traj = evolve_ham_fixed(ex.system, ex.init_phase, dt, 2000,
+                                method="gauss4", emit_every=emit)
+        pts, valid = poincare_section(
+            traj, coordinate_section(0, 0.0, +1), max_crossings=5
+        )
+        n_valid = int(np.sum(np.asarray(valid)))
+        assert n_valid >= 3
+        # interpolated crossing q should be ~0
+        assert abs(float(pts.q[0, 0])) < 1e-6
+        # momentum at upward crossing ~ max momentum (θ=0 is the bottom)
+        assert float(pts.p[0, 0]) > 0
+
+    def test_batched_sections(self):
+        from hamilton_tpu.models import pendulum
+        from hamilton_tpu.utils import coordinate_section, poincare_section
+
+        ex = pendulum(theta0=0.3, omega0=0.0)
+        b = 3
+        ph = Phase(
+            jnp.stack([ex.init_phase.q * (1 + 0.1 * i) for i in range(b)]),
+            jnp.tile(ex.init_phase.p, (b, 1)),
+        )
+        traj = evolve_ham_fixed(ex.system, ph, 0.01, 1500,
+                                method="gauss4", emit_every=3)
+        pts, valid = poincare_section(
+            traj, coordinate_section(0), max_crossings=4
+        )
+        assert pts.q.shape == (4, b, 1)
+        assert valid.shape == (4, b)
+        assert np.all(np.sum(np.asarray(valid), axis=0) >= 1)

@@ -47,6 +47,7 @@ def evolve_ensemble(
     iters: int = 6,
     omega: float = 20.0,
     system_batched: bool = False,
+    compensated: bool = False,
 ) -> Phase:
     """Evolve a batch of initial conditions with a fixed-step integrator.
 
@@ -61,6 +62,7 @@ def evolve_ensemble(
         fn = partial(
             evolve_ham_fixed, dt=dt, n_steps=n_steps, method=method,
             emit_every=emit_every, iters=iters, omega=omega,
+            compensated=compensated,
         )
         sys_axes = jax.tree_util.tree_map(lambda _: 0, system)
         out = jax.vmap(fn, in_axes=(sys_axes, 0))(system, phase0)
@@ -69,7 +71,7 @@ def evolve_ensemble(
     # per-step SPD solves to the Pallas ensemble kernels on TPU
     return evolve_ham_fixed(
         system, phase0, dt, n_steps, method=method, emit_every=emit_every,
-        iters=iters, omega=omega,
+        iters=iters, omega=omega, compensated=compensated,
     )
 
 
@@ -84,6 +86,8 @@ def evolve_ensemble_final(
     omega: float = 20.0,
     track_drift: bool = True,
     drift_every: int = 100,
+    compensated: bool = False,
+    drift_dtype=None,
 ) -> Tuple[Phase, Optional[jax.Array]]:
     """Evolve a batch to its final state without materializing trajectories.
 
@@ -91,13 +95,33 @@ def evolve_ensemble_final(
     per-member maximum of ``|H(t) − H(0)| / max(|H(0)|, 1)`` sampled every
     ``drift_every`` steps (the BASELINE.md ``max |ΔH/H₀|`` metric), or None
     when ``track_drift=False``.
+
+    ``drift_dtype`` (e.g. ``jnp.float64``, requires x64 enabled) evaluates
+    the energy *measurement* at higher precision than the trajectory — at
+    f32 the H-evaluation's own rounding (~1e-6 relative) otherwise masks the
+    true drift of a compensated integration.
     """
     if n_steps % drift_every != 0:
         raise ValueError(f"{n_steps=} not divisible by {drift_every=}")
-    stepper = make_stepper(system, method, iters=iters, omega=omega)
+    stepper = make_stepper(
+        system, method, iters=iters, omega=omega, compensated=compensated
+    )
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)  # batch-native: mechanics are batch-aware
-    h0 = hamiltonian(system, phase0)
+
+    if drift_dtype is not None:
+        h_system = jax.tree_util.tree_map(
+            lambda a: a.astype(drift_dtype), system
+        )
+
+        def measure_h(ph):
+            return hamiltonian(h_system, ph.astype(drift_dtype))
+
+    else:
+        def measure_h(ph):
+            return hamiltonian(system, ph)
+
+    h0 = measure_h(phase0)
     h_scale = jnp.maximum(jnp.abs(h0), 1.0)
 
     # ONE flat loop (nested scan-of-fori de-optimizes ~5-11× on TPU); the
@@ -107,7 +131,7 @@ def evolve_ensemble_final(
         carry = stepper.step(carry, dt)
         if track_drift:
             def sample(d):
-                h = hamiltonian(system, stepper.extract(carry))
+                h = measure_h(stepper.extract(carry))
                 return jnp.maximum(d, jnp.abs(h - h0) / h_scale)
 
             drift = jax.lax.cond(
@@ -137,6 +161,7 @@ def evolve_ensemble_sharded(
     track_drift: bool = True,
     drift_every: int = 100,
     reduce_stats: Optional[str] = None,
+    compensated: bool = False,
 ):
     """Mesh-sharded ensemble evolution via ``jax.shard_map``.
 
@@ -180,6 +205,7 @@ def evolve_ensemble_sharded(
             sys_local, ph_local, dt, n_steps,
             method=method, iters=iters, omega=omega,
             track_drift=track_drift, drift_every=drift_every,
+            compensated=compensated,
         )
         if drift is None:
             drift = jnp.zeros_like(ph_local.q[..., 0])

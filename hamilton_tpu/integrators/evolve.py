@@ -143,6 +143,7 @@ def evolve_ham_fixed(
     omega: float = 20.0,
     unroll: int = 1,
     remat: bool = False,
+    compensated: bool = False,
 ) -> Phase:
     """Fixed-step evolution: ``n_steps`` steps of size ``dt``, emitting every
     ``emit_every``-th state (scan-of-scans chunked emission, SURVEY.md §5
@@ -161,7 +162,9 @@ def evolve_ham_fixed(
     """
     if n_steps % emit_every != 0:
         raise ValueError(f"{n_steps=} not divisible by {emit_every=}")
-    stepper = make_stepper(system, method, iters=iters, omega=omega)
+    stepper = make_stepper(
+        system, method, iters=iters, omega=omega, compensated=compensated
+    )
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)
     n_emit = n_steps // emit_every

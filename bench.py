@@ -135,6 +135,62 @@ def phase_drift(args):
     }
 
 
+def phase_double_pendulum(args):
+    """BASELINE north-star config: 16k-member double-pendulum ensemble.
+
+    Throughput on the accelerator (f32, symplectic), plus the FULL
+    1e5-step f64 gauss4 energy drift — the n=2 dynamics use the closed-form
+    2×2 solve, so the full-horizon f64 run costs seconds on the host.
+    """
+    from hamilton_tpu.ensemble import evolve_ensemble_final
+    from hamilton_tpu.models import double_pendulum
+    from hamilton_tpu.state import Phase
+
+    out = {}
+    ex = double_pendulum()
+    rng = np.random.default_rng(1)
+
+    def build(batch, dtype):
+        system = jax.tree_util.tree_map(lambda a: a.astype(dtype), ex.system)
+        jitter = 0.01 * rng.standard_normal((batch, 2)).astype(dtype)
+        ph = Phase(
+            jnp.asarray(np.asarray(ex.init_phase.q, dtype=dtype) + jitter),
+            jnp.tile(jnp.asarray(ex.init_phase.p, dtype=dtype), (batch, 1)),
+        )
+        return system, ph
+
+    # throughput: 16k f32 on the default device
+    system, ph = build(args.batch, jnp.float32)
+    run = jax.jit(
+        lambda p, n: evolve_ensemble_final(
+            system, p, 1e-3, n, method="leapfrog", iters=3,
+            track_drift=False, drift_every=n,
+        )[0],
+        static_argnums=1,
+    )
+    jax.block_until_ready(run(ph, args.warm_steps))
+    n = args.steps * 5  # dp steps are much cheaper than chain-20
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(ph, n))
+    el = time.perf_counter() - t0
+    out["dp_member_steps_per_sec"] = args.batch * n / el
+
+    # full-horizon f64 drift on the host (north-star correctness bound)
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64(True), jax.default_device(cpu):
+        system64, ph64 = build(64, jnp.float64)
+        _, drift = jax.jit(
+            lambda p: evolve_ensemble_final(
+                system64, p, 1e-3, args.dp_drift_steps, method="gauss4",
+                iters=6, drift_every=1000,
+            )
+        )(ph64)
+        jax.block_until_ready(drift)
+        out["dp_max_energy_drift_f64"] = float(jnp.max(drift))
+        out["dp_drift_steps"] = args.dp_drift_steps
+    return out
+
+
 def phase_cpu_baseline(args):
     """Single-trajectory steps/sec on the host CPU — the reference's
     operating point (one trajectory, one CPU)."""
@@ -165,6 +221,7 @@ def main(argv=None):
     ap.add_argument("--warm-steps", type=int, default=50)
     ap.add_argument("--drift-steps", type=int, default=100_000)
     ap.add_argument("--drift-batch", type=int, default=1024)
+    ap.add_argument("--dp-drift-steps", type=int, default=100_000)
     ap.add_argument("--method", default="leapfrog")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true",
@@ -174,6 +231,7 @@ def main(argv=None):
     if args.quick:
         args.batch, args.steps = 4096, 500
         args.drift_steps, args.drift_batch = 5000, 256
+        args.dp_drift_steps = 10_000
 
     extras = {"method": args.method}
     value = 0.0
@@ -188,6 +246,10 @@ def main(argv=None):
             extras.update(phase_drift(args))
         except Exception as e:  # pragma: no cover
             extras["drift_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        extras.update(phase_double_pendulum(args))
+    except Exception as e:  # pragma: no cover
+        extras["dp_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         extras.update(phase_cpu_baseline(args))
         if value and extras.get("cpu_single_steps_per_sec"):

@@ -31,7 +31,7 @@ import math
 import shutil
 import sys
 import time
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from typing import List, Optional
 
 import jax
@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from hamilton_tpu.mechanics import hamiltonian, ke_p, pe, velocities
 from hamilton_tpu.integrators.evolve import evolve_ham, evolve_ham_fixed
 from hamilton_tpu.models import Example, get_example
-from hamilton_tpu.render import PT_STYLES, PlotRange, ansi_color, plot
+from hamilton_tpu.render import PT_STYLES, PlotRange, plot
 from hamilton_tpu.state import Phase
 from hamilton_tpu.system import underlying_pos
 

@@ -30,13 +30,13 @@ plus non-symplectic ``rk4`` for reference.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 
-from hamilton_tpu.mechanics import ham_eqs, to_phase, from_phase
-from hamilton_tpu.state import Config, Phase
+from hamilton_tpu.mechanics import ham_eqs
+from hamilton_tpu.state import Phase
 from hamilton_tpu.system import System
 from hamilton_tpu.integrators.tableaus import (
     GAUSS2,

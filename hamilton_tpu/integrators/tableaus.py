@@ -13,7 +13,7 @@ estimate; the controller order is 5.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 __all__ = ["Tableau", "RKF45", "RKCK", "DOPRI5", "RK4", "GAUSS2", "GAUSS4", "GAUSS6"]

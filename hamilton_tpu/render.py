@@ -12,7 +12,7 @@ white/yellow/blue/red/green, ``app/Examples.hs:418-421``).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 __all__ = ["PlotRange", "Point", "render_frame", "plot", "PT_STYLES", "ansi_color"]
 

@@ -7,8 +7,6 @@ like the two-body ``r → 0``).  These helpers catch that without breaking jit.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

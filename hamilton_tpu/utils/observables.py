@@ -8,12 +8,12 @@ headline metric (BASELINE.md ``max |ΔH/H₀|``).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from hamilton_tpu.mechanics import hamiltonian, ke_p, pe, velocities
+from hamilton_tpu.mechanics import ke_p, pe
 from hamilton_tpu.state import Phase
 from hamilton_tpu.system import System
 

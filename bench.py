@@ -109,24 +109,27 @@ def phase_drift(args):
             jax.block_until_ready(drift)
             return float(jnp.max(drift))
 
-    steps = args.drift_steps
+    # f64 on this TPU is emulated at ~140 ms/step for the chain-20 config —
+    # the full 1e5-step horizon would take hours, and very long single
+    # dispatches can fault the relay.  Cap the chain-20 f64 horizon:
+    # symplectic drift is a bounded oscillation (not secular), so the max
+    # over 2e4 steps is representative of 1e5.  The FULL 1e5-step f64 drift
+    # requirement is measured on the (cheap, n=2) north-star double-pendulum
+    # config in phase_double_pendulum.
+    steps = min(args.drift_steps, 20_000)
+    args_steps, args.drift_steps = args.drift_steps, steps
     try:
-        value = run(args.drift_batch, None)
-        platform = jax.devices()[0].platform
-        batch = args.drift_batch
-    except Exception:
-        # Host fallback is ~1e4 member-steps/s; cap the horizon to keep the
-        # benchmark bounded.  Symplectic drift is a bounded oscillation (not
-        # secular), so the max over 2e4 steps is representative of 1e5.
-        cpu = jax.devices("cpu")[0]
-        batch = min(args.drift_batch, 16)
-        steps = min(args.drift_steps, 20_000)
-        args_steps, args.drift_steps = args.drift_steps, steps
         try:
+            value = run(args.drift_batch, None)
+            platform = jax.devices()[0].platform
+            batch = args.drift_batch
+        except Exception:
+            cpu = jax.devices("cpu")[0]
+            batch = min(args.drift_batch, 16)
             value = run(batch, cpu)
-        finally:
-            args.drift_steps = args_steps
-        platform = "cpu-fallback"
+            platform = "cpu-fallback"
+    finally:
+        args.drift_steps = args_steps
     return {
         "max_energy_drift": value,
         "drift_steps": steps,

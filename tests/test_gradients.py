@@ -26,6 +26,7 @@ DP = double_pendulum()
 
 
 def _final_q0(ph0: Phase, **kw) -> jax.Array:
+    kw.setdefault("iters", 3)
     out = evolve_ham_fixed(DP.system, ph0, 0.01, 50, emit_every=50, **kw)
     return out.q[-1, 0]
 
@@ -65,7 +66,7 @@ class TestGradThroughTrajectory:
                 n=2,
             )
             ph0 = to_phase(sysm, DP.init_config)
-            out = evolve_ham_fixed(sysm, ph0, 0.01, 30, emit_every=30)
+            out = evolve_ham_fixed(sysm, ph0, 0.01, 30, emit_every=30, iters=3)
             return jnp.sum(out.q[-1] ** 2)
 
         g = jax.grad(loss)(jnp.array([1.0, 1.0, 1.0, 1.0]))
@@ -83,7 +84,7 @@ class TestGradThroughTrajectory:
 
         def loss(omega0):
             ph0 = to_phase(ex.system, Config(jnp.array([0.0]), jnp.stack([omega0])))
-            out = evolve_ham_fixed(ex.system, ph0, 0.02, 25, emit_every=25)
+            out = evolve_ham_fixed(ex.system, ph0, 0.02, 25, emit_every=25, iters=3)
             return (out.q[-1, 0] - target) ** 2
 
         omega = jnp.asarray(0.5)
@@ -100,7 +101,7 @@ class TestGradThroughTrajectory:
         ph0 = Phase(jnp.tile(DP.init_phase.q, (b, 1)), jnp.tile(DP.init_phase.p, (b, 1)))
 
         def loss(q0):
-            out = evolve_ham_fixed(DP.system, Phase(q0, ph0.p), 0.01, 20, emit_every=20)
+            out = evolve_ham_fixed(DP.system, Phase(q0, ph0.p), 0.01, 20, emit_every=20, iters=3)
             return jnp.sum(out.q[-1] ** 2)
 
         g = jax.grad(loss)(ph0.q)

@@ -160,7 +160,7 @@ class TestAccuracy:
         for n in (40, 80):
             out = evolve_ham_fixed(
                 DP.system, ph0, t_end / n, n, method=method, emit_every=n,
-                iters=10, omega=50.0,
+                iters=5, omega=50.0,
             )
             errs.append(np.max(np.abs(np.asarray(out.q[-1]) - ref_q)))
         rate = np.log2(errs[0] / errs[1])

@@ -130,8 +130,8 @@ class TestBatchAwareMechanics:
         from hamilton_tpu.models import chain
 
         ex = chain(n_links=4)
-        st = make_stepper(ex.system, "gauss4", iters=5)
-        b = 5
+        st = make_stepper(ex.system, "gauss4", iters=3)
+        b = 3
         rng = np.random.default_rng(2)
         q = jnp.asarray(rng.normal(size=(b, 4)) * 0.3)
         p = jnp.asarray(rng.normal(size=(b, 4)) * 0.2)

@@ -68,8 +68,11 @@ def phase_throughput(args):
 
     run_j = jax.jit(run, static_argnums=1)
     t0 = time.perf_counter()
-    jax.block_until_ready(run_j(ph, args.warm_steps))
+    jax.block_until_ready(run_j(ph, args.steps))
     compile_s = time.perf_counter() - t0
+    # The FIRST execution of a compiled graph through this TPU relay runs
+    # ~8x slower than steady state; warm the exact graph, then time it.
+    jax.block_until_ready(run_j(ph, args.steps))
     t0 = time.perf_counter()
     jax.block_until_ready(run_j(ph, args.steps))
     el = time.perf_counter() - t0
@@ -171,8 +174,9 @@ def phase_double_pendulum(args):
         )[0],
         static_argnums=1,
     )
-    jax.block_until_ready(run(ph, args.warm_steps))
     n = args.steps * 5  # dp steps are much cheaper than chain-20
+    jax.block_until_ready(run(ph, n))  # compile
+    jax.block_until_ready(run(ph, n))  # first-execution warmup (see above)
     t0 = time.perf_counter()
     jax.block_until_ready(run(ph, n))
     el = time.perf_counter() - t0
@@ -196,9 +200,18 @@ def phase_double_pendulum(args):
 
 def phase_cpu_baseline(args):
     """Single-trajectory steps/sec on the host CPU — the reference's
-    operating point (one trajectory, one CPU)."""
+    operating point (one trajectory, one CPU).  Two baselines are measured
+    and the STRONGER one is used for ``vs_baseline``:
+
+    * the jax-CPU path (AD-derived dynamics, like the reference's ad-package
+      workflow), and
+    * the native C++ engine with the hand-derived analytic chain RHS
+      (``native/hamode.cpp``) — typically ~14× faster and the toughest
+      honest single-CPU number.
+    """
     from hamilton_tpu.ensemble import evolve_ensemble_final
 
+    out = {}
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         system, ph = _build(1, jnp.float32)
@@ -214,7 +227,22 @@ def phase_cpu_baseline(args):
         t0 = time.perf_counter()
         jax.block_until_ready(run(ph, n))
         el = time.perf_counter() - t0
-    return {"cpu_single_steps_per_sec": n / el}
+    out["cpu_single_steps_per_sec"] = n / el
+    try:
+        from hamilton_tpu import native as native_mod
+
+        if native_mod.available():
+            y0 = np.concatenate([np.full(20, 0.5), np.zeros(20)])
+            n_nat = 5000
+            t0 = time.perf_counter()
+            native_mod.chain_ensemble_fixed_steps(
+                np.ones(20), y0[None, :], 1e-3, n_nat
+            )
+            el = time.perf_counter() - t0
+            out["native_single_steps_per_sec"] = n_nat / el
+    except Exception as e:  # pragma: no cover
+        out["native_baseline_error"] = f"{type(e).__name__}: {e}"[:120]
+    return out
 
 
 def main(argv=None):
@@ -244,19 +272,26 @@ def main(argv=None):
         value = extras["member_steps_per_sec"]
     except Exception as e:  # pragma: no cover
         extras["throughput_error"] = f"{type(e).__name__}: {e}"[:200]
+    # order matters: a failed TPU-f64 attempt can leave the device faulted
+    # for the rest of the process, so all f32 accelerator phases run before
+    # the f64 drift attempt.
+    try:
+        extras.update(phase_double_pendulum(args))
+    except Exception as e:  # pragma: no cover
+        extras["dp_error"] = f"{type(e).__name__}: {e}"[:200]
     if not args.skip_drift:
         try:
             extras.update(phase_drift(args))
         except Exception as e:  # pragma: no cover
             extras["drift_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
-        extras.update(phase_double_pendulum(args))
-    except Exception as e:  # pragma: no cover
-        extras["dp_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
         extras.update(phase_cpu_baseline(args))
-        if value and extras.get("cpu_single_steps_per_sec"):
-            vs_baseline = value / extras["cpu_single_steps_per_sec"]
+        base = max(
+            extras.get("cpu_single_steps_per_sec", 0.0),
+            extras.get("native_single_steps_per_sec", 0.0),
+        )
+        if value and base:
+            vs_baseline = value / base
     except Exception as e:  # pragma: no cover
         extras["baseline_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -95,6 +95,21 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.ham_chain_evolve.restype = ctypes.c_int
+    lib.ham_chain_evolve.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(_Stats),
+    ]
+    lib.ham_chain_ensemble_fixed_steps.restype = ctypes.c_int
+    lib.ham_chain_ensemble_fixed_steps.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+    ]
     _lib = lib
     return _lib
 
@@ -180,6 +195,68 @@ def double_pendulum_evolve(
         "n_rejected": stats.n_rejected,
         "h_final": stats.h_final,
     }
+
+
+def chain_evolve(
+    masses,
+    y0: np.ndarray,
+    ts: np.ndarray,
+    *,
+    link_length: float = 1.0,
+    gravity: float = 5.0,
+    eps_abs: float = GSL_EPS_DEFAULT,
+    eps_rel: float = GSL_EPS_DEFAULT,
+    h0: float = -1.0,
+) -> Tuple[np.ndarray, dict]:
+    """Adaptive evolve of the analytic N-link chain (closed-form ``K``,
+    ``∂T/∂q``, ``∇U`` — an independent oracle for the AD-derived
+    ``models.chain`` dynamics).  ``y0`` is ``[q, p]`` of length 2n."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native hamode library unavailable")
+    masses = np.ascontiguousarray(masses, dtype=np.float64)
+    n = masses.shape[0]
+    y0 = np.ascontiguousarray(y0, dtype=np.float64)
+    ts = np.ascontiguousarray(ts, dtype=np.float64)
+    out = np.empty((ts.shape[0], 2 * n), dtype=np.float64)
+    stats = _Stats()
+    rc = lib.ham_chain_evolve(
+        n, _dptr(masses), link_length, gravity, _dptr(ts), ts.shape[0],
+        eps_abs, eps_rel, h0, _dptr(y0), _dptr(out), ctypes.byref(stats),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native chain evolve failed: {rc}")
+    return out, {
+        "n_steps": stats.n_steps,
+        "n_rejected": stats.n_rejected,
+        "h_final": stats.h_final,
+    }
+
+
+def chain_ensemble_fixed_steps(
+    masses,
+    states: np.ndarray,
+    h: float,
+    n_steps: int,
+    *,
+    link_length: float = 1.0,
+    gravity: float = 5.0,
+) -> np.ndarray:
+    """Native multi-core (OpenMP) ensemble stepping: ``states`` is
+    ``(members, 2n)``, advanced in place by ``n_steps`` fixed-h RKF45 steps
+    per member — the host-CPU counterpart of the TPU ensemble path."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native hamode library unavailable")
+    masses = np.ascontiguousarray(masses, dtype=np.float64)
+    out = np.ascontiguousarray(states, dtype=np.float64).copy()
+    rc = lib.ham_chain_ensemble_fixed_steps(
+        masses.shape[0], _dptr(masses), link_length, gravity, h,
+        n_steps, out.shape[0], _dptr(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native chain ensemble failed: {rc}")
+    return out
 
 
 def double_pendulum_fixed_steps(

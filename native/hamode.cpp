@@ -258,3 +258,134 @@ int ham_double_pendulum_fixed_steps(double m1, double m2, double h,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Built-in analytic N-link chain RHS (the rebuild's stress model,
+// hamilton_tpu/models/chain.py; BASELINE configs[3]).  Closed forms:
+//   coords: x_k = sum_{j<=k} l sin t_j, y_k = sum_{j<=k} l (1 - cos t_j)
+//   K_ij   = l^2 cos(t_i - t_j) * S_max(i,j),  S_k = sum_{m>=k} mass_m
+//   dT/dt_a = w_a * sum_j w_j l^2 S_max(a,j) sin(t_a - t_j)
+//   dU/dt_a = g l sin(t_a) S_a
+// with w = K^-1 p via a dense Cholesky solve.  Used for (a) an independent
+// parity oracle for the AD-derived chain dynamics, and (b) a native
+// multi-core CPU ensemble runner (OpenMP) — the host-side counterpart of
+// the TPU ensemble path.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ChainParams {
+  int n;
+  double l, g;
+  const double* suffix_mass;  // S_k, length n
+};
+
+// Dense lower-Cholesky solve of K w = p for small n (in-place workspace).
+bool chol_solve(int n, std::vector<double>& k, const double* p, double* w) {
+  for (int j = 0; j < n; ++j) {
+    double s = k[j * n + j];
+    for (int t = 0; t < j; ++t) s -= k[j * n + t] * k[j * n + t];
+    if (s <= 0.0) return false;
+    const double d = std::sqrt(s);
+    k[j * n + j] = d;
+    for (int i = j + 1; i < n; ++i) {
+      double v = k[i * n + j];
+      for (int t = 0; t < j; ++t) v -= k[i * n + t] * k[j * n + t];
+      k[i * n + j] = v / d;
+    }
+  }
+  std::vector<double> y(n);
+  for (int i = 0; i < n; ++i) {
+    double s = p[i];
+    for (int t = 0; t < i; ++t) s -= k[i * n + t] * y[t];
+    y[i] = s / k[i * n + i];
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    double s = y[i];
+    for (int t = i + 1; t < n; ++t) s -= k[t * n + i] * w[t];
+    w[i] = s / k[i * n + i];
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void ham_chain_rhs(const double* y, double* dydt, int dim, void* user) {
+  const ChainParams* prm = static_cast<const ChainParams*>(user);
+  const int n = prm->n;
+  (void)dim;  // 2n
+  const double* t = y;
+  const double* p = y + n;
+  const double l2 = prm->l * prm->l;
+
+  std::vector<double> k(static_cast<size_t>(n) * n);
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j) {
+      const int mx = i > j ? i : j;
+      k[i * n + j] = l2 * std::cos(t[i] - t[j]) * prm->suffix_mass[mx];
+    }
+  std::vector<double> w(n);
+  if (!chol_solve(n, k, p, w.data())) {
+    for (int i = 0; i < 2 * n; ++i) dydt[i] = std::nan("");
+    return;
+  }
+  for (int i = 0; i < n; ++i) dydt[i] = w[i];
+  for (int a = 0; a < n; ++a) {
+    double dtdq = 0.0;
+    for (int j = 0; j < n; ++j) {
+      const int mx = a > j ? a : j;
+      dtdq += w[j] * l2 * prm->suffix_mass[mx] * std::sin(t[a] - t[j]);
+    }
+    dtdq *= w[a];
+    const double dudq = prm->g * prm->l * std::sin(t[a]) * prm->suffix_mass[a];
+    dydt[n + a] = -(dtdq + dudq);
+  }
+}
+
+// Adaptive evolve of the analytic chain over output times (parity oracle).
+int ham_chain_evolve(int n_links, const double* masses, double l, double g,
+                     const double* ts, int n_ts, double eps_abs,
+                     double eps_rel, double h0, const double* y0, double* out,
+                     HamStats* stats) {
+  std::vector<double> suffix(n_links);
+  double acc = 0.0;
+  for (int k = n_links - 1; k >= 0; --k) {
+    acc += masses[k];
+    suffix[k] = acc;
+  }
+  ChainParams prm{n_links, l, g, suffix.data()};
+  return ham_rkf45_evolve_times(ham_chain_rhs, &prm, 2 * n_links, ts, n_ts,
+                                eps_abs, eps_rel, h0, y0, out, 10000000,
+                                stats);
+}
+
+// Native multi-core ensemble runner: fixed-h RKF45 stepping of `n_members`
+// independent chain trajectories, OpenMP-parallel over members.  The host
+// CPU counterpart of the TPU ensemble path.
+int ham_chain_ensemble_fixed_steps(int n_links, const double* masses,
+                                   double l, double g, double h,
+                                   int64_t n_steps, int64_t n_members,
+                                   double* states /* (members, 2n) */) {
+  std::vector<double> suffix(n_links);
+  double acc = 0.0;
+  for (int k = n_links - 1; k >= 0; --k) {
+    acc += masses[k];
+    suffix[k] = acc;
+  }
+  ChainParams prm{n_links, l, g, suffix.data()};
+  const int dim = 2 * n_links;
+#pragma omp parallel for schedule(static)
+  for (int64_t m = 0; m < n_members; ++m) {
+    Work w(dim);
+    double* y = states + m * dim;
+    for (int64_t s = 0; s < n_steps; ++s) {
+      rkf45_step(ham_chain_rhs, &prm, y, dim, h, w);
+      std::memcpy(y, w.ynew.data(), dim * sizeof(double));
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

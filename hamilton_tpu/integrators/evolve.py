@@ -146,8 +146,8 @@ def evolve_ham_fixed(
     compensated: bool = False,
 ) -> Phase:
     """Fixed-step evolution: ``n_steps`` steps of size ``dt``, emitting every
-    ``emit_every``-th state (scan-of-scans chunked emission, SURVEY.md §5
-    long-horizon note).
+    ``emit_every``-th state (chunked emission for long horizons, SURVEY.md §5
+    — implemented as one flat loop with cond-guarded buffer writes).
 
     The TPU-first path with no reference analog: symplectic by default
     (``gauss4``) so long-horizon energy drift stays bounded.  Returns a

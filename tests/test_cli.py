@@ -128,3 +128,54 @@ class TestRender:
         pr = PlotRange.from_x((-1, 1), 40, 20)
         lines = plot(40, 20, pr, [(0.0, 0.1, "o", "red")], color=True)
         assert any("\x1b[31m" in l for l in lines)
+
+
+class TestInteractivePty:
+    def test_interactive_loop_keys_and_quit(self):
+        """Drive the real interactive loop through a pseudo-tty: frames
+        render, '+' applies the reference's sqrt-2 zoom (app/Examples.hs:488),
+        'q' exits cleanly restoring the screen."""
+        import os
+        import pty
+        import re
+        import select
+        import subprocess
+        import time
+
+        master, slave = pty.openpty()
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root",
+               "TERM": "xterm-256color", "COLUMNS": "80", "LINES": "24"}
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "hamilton_tpu.cli", "pend", "-a", "20"],
+            stdin=slave, stdout=slave, stderr=subprocess.PIPE, env=env,
+            close_fds=True,
+        )
+        os.close(slave)
+        out = b""
+        sent = False
+        t0 = time.time()
+        try:
+            while time.time() - t0 < 240 and proc.poll() is None:
+                r, _, _ = select.select([master], [], [], 0.5)
+                if not r:
+                    continue
+                try:
+                    out += os.read(master, 65536)
+                except OSError:
+                    break
+                if b"H :" in out and not sent:
+                    os.write(master, b"+")
+                    time.sleep(0.5)
+                    os.write(master, b"q")
+                    sent = True
+            rc = proc.wait(timeout=30)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+            os.close(master)
+        assert rc == 0, proc.stderr.read().decode()[-500:]
+        assert b"\x1b[?1049h" in out and b"\x1b[?1049l" in out
+        assert b"[ Single pendulum ]" in out
+        zooms = {z.decode() for z in re.findall(rb"zoom: x(\d+\.\d+)", out)}
+        assert "0.71" in zooms, zooms  # 0.5 * sqrt(2)

@@ -86,7 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--dt",
         type=float,
         default=None,
-        help="substep size for fixed-step methods (default rate/fps/32)",
+        help="approximate substep size for fixed-step methods (sets the "
+        "per-frame substep count; default rate/fps/32)",
     )
     sub = p.add_subparsers(dest="example", metavar="EXAMPLE")
 
@@ -149,6 +150,12 @@ def build_parser() -> argparse.ArgumentParser:
     el.add_argument("-t", "--theta", type=float, default=2.0, metavar="RAD",
                     help="Initial parameter angle in radians (default: 2.0)")
 
+    sphp = sub.add_parser("spherical", help="Spherical pendulum (3-D)")
+    sphp.add_argument("-t", "--theta", type=float, default=1.0, metavar="RAD",
+                      help="Initial polar angle in radians (default: 1.0)")
+    sphp.add_argument("-v", "--vel", type=float, default=1.0, metavar="RATE",
+                      help="Initial azimuthal angular velocity (default: 1.0)")
+
     ch = sub.add_parser("chain", help="N-link pendulum chain (TPU stress model)")
     ch.add_argument("-n", "--links", type=int, default=20, metavar="N",
                     help="Number of links (default: 20)")
@@ -187,6 +194,8 @@ def _example_from_args(args) -> Example:
         return get_example("bezier", points=pts)
     if name == "ellipse":
         return get_example("ellipse", a=args.a, b=args.b, theta0=args.theta)
+    if name == "spherical":
+        return get_example("spherical", theta0=args.theta, phi_dot0=args.vel)
     if name == "chain":
         return get_example("chain", n_links=args.links, theta0=args.angle)
     raise SystemExit(f"unknown example {name!r}")
@@ -211,11 +220,13 @@ def _make_step(example: Example, method: str, dt_sub: Optional[float]):
 
         return step
 
-    n_sub = 32
+    # substep count is static; with --dt given, choose the count so a frame
+    # still advances by rate/fps (dt is honored approximately)
+    n_sub = 32 if dt_sub is None else max(1, round((1.0 / FPS) / dt_sub))
 
     @jax.jit
     def step_fixed(ph: Phase, frame_dt) -> Phase:
-        dt = frame_dt / n_sub if dt_sub is None else jnp.asarray(dt_sub, ph.q.dtype)
+        dt = frame_dt / n_sub
         out = evolve_ham_fixed(
             system, ph, dt, n_sub, method=method, emit_every=n_sub
         )

@@ -191,6 +191,7 @@ def evolve_ensemble_sharded(
             return evolve_ensemble(
                 sys_local, ph_local, dt, n_steps,
                 method=method, emit_every=emit_every, iters=iters, omega=omega,
+                compensated=compensated,
             )
 
         return jax.shard_map(

@@ -87,8 +87,6 @@ def gsl_evolve_to(
     *,
     eps_abs: float = GSL_EPS_DEFAULT,
     eps_rel: float = GSL_EPS_DEFAULT,
-    a_y: float = 1.0,
-    a_dydt: float = 0.0,
     method: str = "rkf45",
     max_steps: int = 1_000_000,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -117,11 +115,10 @@ def gsl_evolve_to(
 
         y_new, yerr = step(s.y, h0)
 
-        # gsl control/standard.c hadjust on the *updated* y
-        d0 = eps_rel * (a_y * jnp.abs(y_new)) + eps_abs
-        if a_dydt != 0.0:
-            # (unused by the reference path: a_dydt = 0)
-            d0 = d0 + eps_rel * a_dydt * jnp.abs(h0) * jnp.abs(yerr)
+        # gsl control/standard.c hadjust on the *updated* y, with the
+        # reference's weighting a_y = 1, a_dydt = 0 (the only mode
+        # hmatrix-gsl's odeSolveV uses)
+        d0 = eps_rel * jnp.abs(y_new) + eps_abs
         rmax = jnp.max(jnp.abs(yerr) / d0)
 
         dec = rmax > 1.1

@@ -13,8 +13,8 @@ TPU-native analog of the reference's L3 layer (``Numeric/Hamilton.hs:389-515``):
   configuration-space wrappers (``:470-515``); the simulation itself always
   runs in phase space (doc note ``:464-469``);
 * :func:`evolve_ham_fixed` — the TPU-first fixed-step path (no reference
-  analog): ``lax.scan`` over a symplectic stepper with chunked emission, the
-  workhorse for ensembles and long horizons.
+  analog): one flat compiled loop over a symplectic stepper with chunked
+  emission, the workhorse for ensembles and long horizons.
 """
 
 from __future__ import annotations
@@ -141,7 +141,6 @@ def evolve_ham_fixed(
     emit_every: int = 1,
     iters: int = 6,
     omega: float = 20.0,
-    unroll: int = 1,
     remat: bool = False,
     compensated: bool = False,
 ) -> Phase:

@@ -24,6 +24,7 @@ from hamilton_tpu.models.spring import spring
 from hamilton_tpu.models.bezier import bezier, bezier_curve
 from hamilton_tpu.models.chain import chain
 from hamilton_tpu.models.ellipse import ellipse
+from hamilton_tpu.models.spherical import spherical_pendulum
 
 #: Registry keyed by the reference CLI subcommand names (app/Examples.hs:201-227),
 #: plus the TPU-native ``chain`` stress model.
@@ -36,6 +37,7 @@ REGISTRY = {
     "bezier": bezier,
     "chain": chain,
     "ellipse": ellipse,
+    "spherical": spherical_pendulum,
 }
 
 
@@ -60,6 +62,7 @@ __all__ = [
     "bezier_curve",
     "chain",
     "ellipse",
+    "spherical_pendulum",
     "REGISTRY",
     "get_example",
 ]

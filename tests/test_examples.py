@@ -272,3 +272,50 @@ class TestEnsembleSweepExample:
         data = _json.loads(out.stdout.strip().splitlines()[-1])
         assert data["batch"] == 16
         assert data["max_energy_drift"] < 1e-3
+
+
+class TestSphericalPendulum:
+    def test_dims_3d(self):
+        from hamilton_tpu.models import spherical_pendulum
+
+        ex = spherical_pendulum()
+        assert (ex.m, ex.n) == (3, 2)
+
+    def test_azimuthal_momentum_conserved(self):
+        """φ is cyclic → p_φ (z angular momentum) exactly conserved."""
+        from hamilton_tpu.models import spherical_pendulum
+
+        ex = spherical_pendulum()
+        out = evolve_ham(ex.system, ex.init_phase, jnp.linspace(0.0, 3.0, 7))
+        p_phi = np.asarray(out.p[:, 1])
+        np.testing.assert_allclose(p_phi, p_phi[0], rtol=1e-7)
+
+    def test_momentum_closed_form(self):
+        """p_φ = m sin²θ φ̇ at the initial state."""
+        from hamilton_tpu.models import spherical_pendulum
+
+        ex = spherical_pendulum(mass=2.0, theta0=1.0, phi_dot0=0.7)
+        p_phi = float(ex.init_phase.p[1])
+        np.testing.assert_allclose(p_phi, 2.0 * np.sin(1.0) ** 2 * 0.7, rtol=1e-10)
+
+    def test_conical_orbit_stays_between_turning_points(self):
+        from hamilton_tpu.models import spherical_pendulum
+
+        ex = spherical_pendulum()
+        traj = evolve_ham_fixed(ex.system, ex.init_phase, 0.005, 2000,
+                                method="gauss4", emit_every=100)
+        th = np.asarray(traj.q[:, 0])
+        assert np.all(th > 0.05) and np.all(th < np.pi - 0.05)
+
+
+class TestFreeParticle:
+    def test_straight_line_motion(self):
+        """SURVEY §4 (f): identity coords, U = 0 → uniform straight motion."""
+        from hamilton_tpu import Config, mk_system, to_phase
+
+        s = mk_system(jnp.array([1.0, 1.0]), lambda q: q, lambda q: 0.0, n=2)
+        c0 = Config(jnp.array([0.0, 0.0]), jnp.array([0.3, -0.4]))
+        out = evolve_ham(s, to_phase(s, c0), jnp.array([0.0, 1.0, 2.0]))
+        np.testing.assert_allclose(
+            np.asarray(out.q[2]), [0.6, -0.8], atol=1e-9
+        )

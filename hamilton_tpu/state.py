@@ -10,7 +10,6 @@ conditions (SURVEY.md §7).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 
 import jax
@@ -107,6 +106,3 @@ class Phase:
                 f"Phase positions/momenta shape mismatch: {q.shape} vs {p.shape}"
             )
 
-
-def _fields(cls):
-    return [f.name for f in dataclasses.fields(cls)]

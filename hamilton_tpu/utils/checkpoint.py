@@ -85,8 +85,6 @@ def load_orbax(path: str, like=None):
     with ocp.PyTreeCheckpointer() as ckptr:
         if like is None:
             return ckptr.restore(os.path.abspath(path))
-        import jax
-
         return ckptr.restore(
             os.path.abspath(path), args=ocp.args.PyTreeRestore(like)
         )

@@ -120,7 +120,7 @@ class TestRoom:
     def test_walls_confine(self):
         """Long trajectory stays (softly) inside the room box."""
         ex = room(theta=np.pi / 4)
-        out = evolve_ham_fixed(ex.system, ex.init_phase, 0.005, 4000,
+        out = evolve_ham_fixed(ex.system, ex.init_phase, 0.005, 2000,
                                method="gauss4", emit_every=100)
         q = np.asarray(out.q)
         assert np.all(np.abs(q[:, 0]) < 2.5)
@@ -149,7 +149,7 @@ class TestTwoBody:
 class TestSpring:
     def test_rail_confines_block(self):
         ex = spring()
-        out = evolve_ham_fixed(ex.system, ex.init_phase, 0.002, 5000,
+        out = evolve_ham_fixed(ex.system, ex.init_phase, 0.002, 2500,
                                method="gauss4", emit_every=250)
         r = np.asarray(out.q[:, 0])
         assert np.all(np.abs(r) < 2.0)
@@ -302,7 +302,7 @@ class TestSphericalPendulum:
         from hamilton_tpu.models import spherical_pendulum
 
         ex = spherical_pendulum()
-        traj = evolve_ham_fixed(ex.system, ex.init_phase, 0.005, 2000,
+        traj = evolve_ham_fixed(ex.system, ex.init_phase, 0.005, 1000,
                                 method="gauss4", emit_every=100)
         th = np.asarray(traj.q[:, 0])
         assert np.all(th > 0.05) and np.all(th < np.pi - 0.05)

@@ -175,7 +175,7 @@ class TestEnergyConservation:
         horizon on the chaotic double pendulum."""
         ph0 = DP.init_phase
         h0 = float(hamiltonian(DP.system, ph0))
-        n, dt = 4000, 0.005  # t = 20
+        n, dt = 2000, 0.005  # t = 10
         out = evolve_ham_fixed(
             DP.system, ph0, dt, n, method=method, emit_every=100, iters=8, omega=40.0
         )

@@ -27,7 +27,7 @@ class TestPallasKernelsInterpret:
 
     @pytest.mark.parametrize("n", [3, 8, 20])
     def test_fused_solve_matches_numpy(self, rng, n):
-        b = 2048
+        b = 1024
         k = _random_spd(rng, b, n)
         vec = rng.normal(size=(b, n)).astype(np.float32)
         with pltpu.force_tpu_interpret_mode():
@@ -36,7 +36,7 @@ class TestPallasKernelsInterpret:
         np.testing.assert_allclose(x[:4], expect, rtol=2e-4, atol=2e-4)
 
     def test_padding_path(self, rng):
-        n, b = 5, 1500  # not a multiple of 1024
+        n, b = 5, 1100  # not a multiple of 1024
         k = _random_spd(rng, b, n)
         vec = rng.normal(size=(b, n)).astype(np.float32)
         with pltpu.force_tpu_interpret_mode():

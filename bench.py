@@ -98,17 +98,31 @@ def phase_drift(args):
 
     import contextlib
 
-    def run(batch, device):
+    def run(batch, device, budget_s=None):
         ctx = jax.default_device(device) if device is not None else contextlib.nullcontext()
         with jax.enable_x64(True), ctx:
             system, ph = _build(batch, jnp.float64)
-            fn = jax.jit(
-                lambda p: evolve_ensemble_final(
-                    system, p, 1e-3, args.drift_steps, method="gauss4",
+
+            def fn(p, n):
+                return evolve_ensemble_final(
+                    system, p, 1e-3, n, method="gauss4",
                     iters=6, track_drift=True, drift_every=1000,
                 )[1]
-            )
-            drift = fn(ph)
+
+            fn_j = jax.jit(fn, static_argnums=1)
+            if budget_s is not None:
+                # probe: f64 is emulated on some TPUs at ~140 ms/step — bail
+                # to the fallback before committing to a multi-hour dispatch
+                jax.block_until_ready(fn_j(ph, 1000))
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn_j(ph, 1000))
+                projected = (time.perf_counter() - t0) / 1000 * args.drift_steps
+                if projected > budget_s:
+                    raise RuntimeError(
+                        f"f64 on this device projects to {projected:.0f}s "
+                        f"for {args.drift_steps} steps; over budget"
+                    )
+            drift = fn_j(ph, args.drift_steps)
             jax.block_until_ready(drift)
             return float(jnp.max(drift))
 
@@ -123,7 +137,7 @@ def phase_drift(args):
     args_steps, args.drift_steps = args.drift_steps, steps
     try:
         try:
-            value = run(args.drift_batch, None)
+            value = run(args.drift_batch, None, budget_s=300.0)
             platform = jax.devices()[0].platform
             batch = args.drift_batch
         except Exception:

@@ -348,3 +348,27 @@ class TestAdaptiveController:
         err_loose = np.max(np.abs(np.asarray(loose) - ref_y))
         err_tight = np.max(np.abs(np.asarray(tight) - ref_y))
         assert err_tight < err_loose / 10
+
+
+class TestEvolveOptions:
+    def test_h0_override(self):
+        """A custom initial step converges to the same answer (control takes
+        over after the first steps)."""
+        ph0 = DP.init_phase
+        a = evolve_ham(DP.system, ph0, jnp.array([0.0, 0.4]))
+        b = evolve_ham(DP.system, ph0, jnp.array([0.0, 0.4]), h0=1e-5)
+        np.testing.assert_allclose(np.asarray(a.q[1]), np.asarray(b.q[1]), atol=1e-7)
+
+    def test_step_ham_method_passthrough(self):
+        a = step_ham(DP.system, DP.init_phase, 0.2, method="dopri5")
+        b = step_ham(DP.system, DP.init_phase, 0.2, method="rkf45")
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q), atol=1e-6)
+
+    def test_nonuniform_output_times(self):
+        ts = jnp.array([0.0, 0.05, 0.3, 0.35, 0.9])
+        out = evolve_ham(DP.system, DP.init_phase, ts)
+        assert out.q.shape == (5, 2)
+        # cross-check the last point against a uniform-grid evolve
+        ref = evolve_ham(DP.system, DP.init_phase, jnp.array([0.0, 0.45, 0.9]))
+        np.testing.assert_allclose(np.asarray(out.q[-1]), np.asarray(ref.q[-1]),
+                                   atol=1e-7)

@@ -154,3 +154,16 @@ class TestPoincare:
         assert pts.q.shape == (4, b, 1)
         assert valid.shape == (4, b)
         assert np.all(np.sum(np.asarray(valid), axis=0) >= 1)
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_round_trip_phase(self, tmp_path):
+        from hamilton_tpu.utils.checkpoint import load_orbax, save_orbax
+
+        ph = Phase(jnp.arange(6.0).reshape(3, 2), jnp.ones((3, 2)))
+        path = os.path.join(tmp_path, "orbax_ck")
+        save_orbax(path, {"phase": ph, "step": jnp.asarray(7)})
+        out = load_orbax(path, like={"phase": ph, "step": jnp.asarray(0)})
+        assert isinstance(out["phase"], Phase)
+        np.testing.assert_array_equal(np.asarray(out["phase"].q), np.asarray(ph.q))
+        assert int(out["step"]) == 7

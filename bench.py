@@ -11,13 +11,16 @@ CPU — SURVEY.md §2.4).
 Prints exactly ONE JSON line:
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}``.
 
-Phases (each independently fault-tolerant):
-  1. TPU f32 ensemble throughput (symplectic leapfrog, factor-cached).
-  2. f64 gauss4 energy drift over the full 10⁵-step horizon (1024 members —
-     drift is a per-member bound, so a smaller batch measures the same
-     thing faster).
-  3. CPU single-trajectory baseline (same chain-20 physics, same stepper,
-     batch=1 on the host CPU).
+Phases (each independently fault-tolerant; f32 accelerator phases run
+before the f64 attempt because a faulted f64 dispatch poisons the device):
+  1. TPU f32 chain-20 ensemble throughput (symplectic leapfrog,
+     factor-cached) — the headline metric.
+  2. Double-pendulum north-star config: 16k-member f32 throughput plus the
+     FULL 1e5-step f64 gauss4 drift (cheap at n=2) on the host.
+  3. Chain-20 f64 gauss4 drift, capped horizon (bounded oscillation), with
+     a budget probe and host fallback around the TPU's emulated f64.
+  4. Single-trajectory CPU baselines: jax-CPU and the native C++ engine;
+     vs_baseline uses the stronger of the two.
 
 Note: first-compile latency through this environment's remote-compile
 service is highly variable (30 s – 6 min for identical programs); the

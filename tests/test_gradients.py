@@ -27,7 +27,7 @@ DP = double_pendulum()
 
 def _final_q0(ph0: Phase, **kw) -> jax.Array:
     kw.setdefault("iters", 3)
-    out = evolve_ham_fixed(DP.system, ph0, 0.01, 50, emit_every=50, **kw)
+    out = evolve_ham_fixed(DP.system, ph0, 0.01, 30, emit_every=30, **kw)
     return out.q[-1, 0]
 
 

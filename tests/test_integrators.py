@@ -157,7 +157,7 @@ class TestAccuracy:
         ref = ref_trajectory(DP.system, ph0, jnp.array([0.0, t_end]))
         ref_q = np.asarray(ref.q[1])
         errs = []
-        for n in (40, 80):
+        for n in (30, 60):
             out = evolve_ham_fixed(
                 DP.system, ph0, t_end / n, n, method=method, emit_every=n,
                 iters=5, omega=50.0,

@@ -115,11 +115,18 @@ def phase_drift(args):
             fn_j = jax.jit(fn, static_argnums=1)
             if budget_s is not None:
                 # probe: f64 is emulated on some TPUs at ~140 ms/step — bail
-                # to the fallback before committing to a multi-hour dispatch
-                jax.block_until_ready(fn_j(ph, 1000))
+                # to the fallback before committing to a multi-hour dispatch.
+                # The probe itself must be tiny (200 steps ≈ 30 s worst case).
+                probe = jax.jit(
+                    lambda p: evolve_ensemble_final(
+                        system, p, 1e-3, 200, method="gauss4",
+                        iters=6, track_drift=True, drift_every=200,
+                    )[1]
+                )
+                jax.block_until_ready(probe(ph))
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn_j(ph, 1000))
-                projected = (time.perf_counter() - t0) / 1000 * args.drift_steps
+                jax.block_until_ready(probe(ph))
+                projected = (time.perf_counter() - t0) / 200 * args.drift_steps
                 if projected > budget_s:
                     raise RuntimeError(
                         f"f64 on this device projects to {projected:.0f}s "

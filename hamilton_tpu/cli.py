@@ -213,26 +213,39 @@ def _make_step(example: Example, method: str, dt_sub: Optional[float]):
     if method in ("rkf45", "dopri5", "rkck"):
 
         @jax.jit
-        def step(ph: Phase, frame_dt) -> Phase:
+        def step_adaptive(ph: Phase, frame_dt) -> Phase:
             ts = jnp.stack([jnp.zeros_like(frame_dt), frame_dt])
             out = evolve_ham(system, ph, ts, method=method)
             return Phase(out.q[1], out.p[1])
 
+        def step(ph: Phase, frame_dt: float) -> Phase:
+            return step_adaptive(ph, jnp.asarray(frame_dt, ph.q.dtype))
+
         return step
 
-    # substep count is static; with --dt given, choose the count so a frame
-    # still advances by rate/fps (dt is honored approximately)
-    n_sub = 32 if dt_sub is None else max(1, round((1.0 / FPS) / dt_sub))
+    # With --dt given, the substep count tracks the *actual* frame advance
+    # (rate/FPS — the rate changes interactively via </>), so the effective
+    # substep size stays ≈ dt at every rate.  The count is a static jit arg;
+    # each distinct count compiles once and is cached.
+    from functools import lru_cache
 
-    @jax.jit
-    def step_fixed(ph: Phase, frame_dt) -> Phase:
-        dt = frame_dt / n_sub
-        out = evolve_ham_fixed(
-            system, ph, dt, n_sub, method=method, emit_every=n_sub
-        )
-        return Phase(out.q[-1], out.p[-1])
+    @lru_cache(maxsize=None)
+    def _step_for(n_sub: int):
+        @jax.jit
+        def step_fixed(ph: Phase, frame_dt) -> Phase:
+            dt = frame_dt / n_sub
+            out = evolve_ham_fixed(
+                system, ph, dt, n_sub, method=method, emit_every=n_sub
+            )
+            return Phase(out.q[-1], out.p[-1])
 
-    return step_fixed
+        return step_fixed
+
+    def step(ph: Phase, frame_dt: float) -> Phase:
+        n_sub = 32 if dt_sub is None else max(1, round(frame_dt / dt_sub))
+        return _step_for(n_sub)(ph, jnp.asarray(frame_dt, ph.q.dtype))
+
+    return step
 
 
 def _infobox(example: Example, ph: Phase, opts: SimOpts) -> List[str]:
@@ -290,9 +303,8 @@ def _run_headless(example, args) -> int:
     step = _make_step(example, args.method, args.dt)
     ph = example.init_phase
     history: List[List[tuple]] = []
-    frame_dt = jnp.asarray(opts.rate / FPS, ph.q.dtype)
     for _ in range(args.frames):
-        ph = step(ph, frame_dt)
+        ph = step(ph, opts.rate / FPS)
     width, height = 80, 24
     sys.stdout.write(
         _render(example, ph, opts, history, width=width, height=height,
@@ -321,8 +333,7 @@ def _run_interactive(example, args) -> int:  # pragma: no cover - needs a tty
             t_frame = time.perf_counter()
             size = shutil.get_terminal_size((80, 24))
             width, height = size.columns, size.lines - 1
-            frame_dt = jnp.asarray(opts.rate / FPS, ph.q.dtype)
-            ph = step(ph, frame_dt)
+            ph = step(ph, opts.rate / FPS)
             frame = _render(example, ph, opts, history, width=width,
                             height=height, color=not args.no_color)
             sys.stdout.write("\x1b[H\x1b[2J" + frame)

@@ -50,6 +50,7 @@ def evolve_ham(
     eps_rel: float = GSL_EPS_DEFAULT,
     h0: Optional[float] = None,
     method: str = "rkf45",
+    batch_mode: str = "shared",
 ) -> Phase:
     """Evolve through phase space, emitting the state at each time in ``ts``.
 
@@ -63,6 +64,21 @@ def evolve_ham(
     The suggested step size carries across output intervals exactly as GSL's
     driver does, so multi-interval trajectories are step-for-step comparable
     with the reference.
+
+    ``batch_mode`` selects the step controller for *batched* states
+    (``phase0.q`` with leading axes):
+
+    * ``"shared"`` (default) — one controller for the whole batch, with the
+      error norm maximized over all members: every member takes identical
+      steps, so the whole batch stays one SIMD computation (lock-step; the
+      TPU-friendly choice, but tolerances are enforced on the worst member
+      and the trajectory is *not* step-for-step identical to single runs);
+    * ``"per_member"`` — each member carries its own controller
+      (``vmap``-ed driver): step-for-step equivalent to N independent single
+      runs — exactly the reference's per-trajectory adaptive behavior
+      (``Numeric/Hamilton.hs:445-448``) — at the cost of wavefront execution
+      (the compiled loop runs until the slowest member finishes its
+      interval; finished members mask).
     """
     ts = jnp.asarray(ts)
     if ts.ndim != 1 or ts.shape[0] < 2:
@@ -70,22 +86,35 @@ def evolve_ham(
             f"evolve_ham requires at least 2 output times (got shape {ts.shape}); "
             "this mirrors the reference's `2 <= s` constraint (Hamilton.hs:435)"
         )
+    if batch_mode not in ("shared", "per_member"):
+        raise ValueError(
+            f"unknown {batch_mode=}; use 'shared' or 'per_member'"
+        )
     rhs = ham_rhs(system)
     y0 = phase0.flatten()
     ts = ts.astype(y0.dtype)
     h_init = (ts[1] - ts[0]) / 100.0 if h0 is None else jnp.asarray(h0, y0.dtype)
 
-    def interval(carry, t_pair):
-        y, h = carry
-        t_lo, t_hi = t_pair
-        y1, h1 = gsl_evolve_to(
-            rhs, y, t_lo, t_hi, h,
-            eps_abs=eps_abs, eps_rel=eps_rel, method=method,
-        )
-        return (y1, h1), y1
+    def run(y_start):
+        def interval(carry, t_pair):
+            y, h = carry
+            t_lo, t_hi = t_pair
+            y1, h1 = gsl_evolve_to(
+                rhs, y, t_lo, t_hi, h,
+                eps_abs=eps_abs, eps_rel=eps_rel, method=method,
+            )
+            return (y1, h1), y1
 
-    (_, _), ys = jax.lax.scan(interval, (y0, h_init), (ts[:-1], ts[1:]))
-    ys = jnp.concatenate([y0[None], ys], axis=0)
+        (_, _), ys = jax.lax.scan(interval, (y_start, h_init), (ts[:-1], ts[1:]))
+        return jnp.concatenate([y_start[None], ys], axis=0)
+
+    if batch_mode == "per_member" and y0.ndim > 1:
+        vrun = run
+        for _ in range(y0.ndim - 1):
+            vrun = jax.vmap(vrun)
+        ys = jnp.moveaxis(vrun(y0), -2, 0)  # time axis back to the front
+    else:
+        ys = run(y0)
     return Phase.unflatten(ys)
 
 

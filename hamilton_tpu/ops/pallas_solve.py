@@ -201,12 +201,15 @@ class _RefView:
 # Batch-minor ("bt") entry points — zero-copy tiling.
 #
 # The member-major (B, n, n) entry points below pay a strided relayout into
-# the (8, 128) register tiles (measured ~1.3 ms per dependent call at
-# (16384, 20, 20) — 25× the kernel compute).  When the caller keeps the
-# ensemble **batch-minor** — K as (n, n, B), vectors as (n, B) — the tile
-# view is a pure reshape: (n, n, B) → (n², G, 8, 128) moves no data, and the
-# BlockSpec walks the G axis directly.  This is the hot-loop path used by the
-# batched mechanics (ensemble-major layout).
+# the (8, 128) register tiles.  When the caller keeps the ensemble
+# **batch-minor** — K as (n, n, B), vectors as (n, B) — the tile view is a
+# pure reshape: (n, n, B) → (n², G, 8, 128) moves no data, and the BlockSpec
+# walks the G axis directly.  These entry points serve callers that hold
+# batch-minor data.  NOTE: an end-to-end batch-minor *stepper* was measured
+# SLOWER than the member-major library path (5.8 vs 4.6 ms/step — the AD
+# boundaries pay the transposes instead; docs/design.md "Layout
+# experiments"), so the library mechanics stay member-major and route
+# through the entry points further below.
 # ---------------------------------------------------------------------------
 
 
@@ -307,21 +310,74 @@ def _spd_bt_bwd(res, g):
 spd_solve_bt.defvjp(_spd_bt_fwd, _spd_bt_bwd)
 
 
+@jax.custom_vjp
 def cholesky_bt(k_t: jax.Array) -> jax.Array:
-    """Lower Cholesky factor, batch-minor: (n, n, B) → (n, n, B)."""
+    """Lower Cholesky factor, batch-minor: (n, n, B) → (n, n, B).
+    Differentiable (adjoint via the masked-loop reference factorization)."""
+    return _cholesky_bt_impl(k_t)
+
+
+def _cholesky_bt_impl(k_t):
     n, b = k_t.shape[0], k_t.shape[-1]
     kt = _bt_tiles(_bt_pad(k_t, diag_entries=True))
     lt = _bt_run(_kernel_wrap_bt(_chol_kernel, n), [kt], n * n, k_t.dtype)
     return lt.reshape(n, n, -1)[:, :, :b]
 
 
+def _cholesky_bt_fwd(k_t):
+    return _cholesky_bt_impl(k_t), k_t
+
+
+def _cholesky_bt_bwd(k_t, g_l):
+    # Pull back through the (mathematically identical) masked-loop
+    # factorization on the member-major layout; the moveaxis pair is the
+    # only overhead and this is a cold (backward-only) path.
+    from hamilton_tpu.ops.linalg import _masked_cholesky
+
+    k = jnp.moveaxis(k_t, -1, 0)
+    _, vjp_fn = jax.vjp(_masked_cholesky, k)
+    (g_k,) = vjp_fn(jnp.moveaxis(g_l, -1, 0))
+    return (jnp.moveaxis(g_k, 0, -1),)
+
+
+cholesky_bt.defvjp(_cholesky_bt_fwd, _cholesky_bt_bwd)
+
+
+@jax.custom_vjp
 def cho_solve_bt(l_t: jax.Array, b_t: jax.Array) -> jax.Array:
-    """Solve ``L Lᵀ x = b``, batch-minor: L (n, n, B), b (n, B) → (n, B)."""
+    """Solve ``L Lᵀ x = b``, batch-minor: L (n, n, B), b (n, B) → (n, B).
+    Differentiable (SPD-solve adjoint: one more solve + rank-1 updates)."""
+    return _cho_solve_bt_impl(l_t, b_t)
+
+
+def _cho_solve_bt_impl(l_t, b_t):
     n, b = l_t.shape[0], l_t.shape[-1]
     lt = _bt_tiles(_bt_pad(l_t, diag_entries=True))
     bt = _bt_tiles(_bt_pad(b_t))
     xt = _bt_run(_kernel_wrap_bt(_chosolve_kernel, n), [lt, bt], n, l_t.dtype)
     return xt.reshape(n, -1)[:, :b]
+
+
+def _cho_solve_bt_fwd(l_t, b_t):
+    x = _cho_solve_bt_impl(l_t, b_t)
+    return x, (l_t, x)
+
+
+def _cho_solve_bt_bwd(res, g):
+    # x = K⁻¹b with K = LLᵀ: gb = K⁻¹g, gK = −gb xᵀ, gL = tril((gK + gKᵀ)L).
+    # Only the lower triangle of L is read by the kernel, so the upper
+    # cotangent is structurally zero.
+    l_t, x = res
+    n = l_t.shape[0]
+    gb = _cho_solve_bt_impl(l_t, g)
+    gk = -gb[:, None, :] * x[None, :, :]  # (n, n, B)
+    gsym = gk + jnp.swapaxes(gk, 0, 1)
+    gl = jnp.einsum("ikb,kjb->ijb", gsym, l_t)
+    tril = (jnp.arange(n)[:, None] >= jnp.arange(n)[None, :])[..., None]
+    return jnp.where(tril, gl, 0.0), gb
+
+
+cho_solve_bt.defvjp(_cho_solve_bt_fwd, _cho_solve_bt_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())
@@ -360,8 +416,15 @@ def _spd_bwd(res, g):
 spd_solve_pallas.defvjp(_spd_fwd, _spd_bwd)
 
 
+@jax.custom_vjp
 def cholesky_pallas(k_mat: jax.Array) -> jax.Array:
-    """Lower Cholesky factor for K (B, n, n) SPD, batch-in-registers."""
+    """Lower Cholesky factor for K (B, n, n) SPD, batch-in-registers.
+    Differentiable (adjoint via the masked-loop reference factorization), so
+    ``jax.grad`` flows through the factor-cached steppers on TPU."""
+    return _cholesky_impl(k_mat)
+
+
+def _cholesky_impl(k_mat):
     n = k_mat.shape[-1]
     k_pad, _, b_orig = _pad_batch(k_mat, [])
     kt = _to_tiles(k_pad, 2)
@@ -369,8 +432,28 @@ def cholesky_pallas(k_mat: jax.Array) -> jax.Array:
     return _from_tiles(lt, (n, n))[:b_orig]
 
 
+def _cholesky_fwd(k_mat):
+    return _cholesky_impl(k_mat), k_mat
+
+
+def _cholesky_bwd(k_mat, g_l):
+    from hamilton_tpu.ops.linalg import _masked_cholesky
+
+    _, vjp_fn = jax.vjp(_masked_cholesky, k_mat)
+    return vjp_fn(g_l)
+
+
+cholesky_pallas.defvjp(_cholesky_fwd, _cholesky_bwd)
+
+
+@jax.custom_vjp
 def cho_solve_pallas(low: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve ``L Lᵀ x = b`` for a batched lower factor (B, n, n)."""
+    """Solve ``L Lᵀ x = b`` for a batched lower factor (B, n, n).
+    Differentiable (SPD-solve adjoint: one more solve + rank-1 updates)."""
+    return _cho_solve_impl(low, b)
+
+
+def _cho_solve_impl(low, b):
     n = low.shape[-1]
     l_pad, (b_pad,), b_orig = _pad_batch(
         # pad factor with identity (its "K" is identity too)
@@ -382,3 +465,20 @@ def cho_solve_pallas(low: jax.Array, b: jax.Array) -> jax.Array:
         _kernel_wrap(_chosolve_kernel, n), [lt, bt], [n * n, n], [n], low.dtype
     )
     return _from_tiles(xt, (n,))[:b_orig]
+
+
+def _cho_solve_fwd(low, b):
+    x = _cho_solve_impl(low, b)
+    return x, (low, x)
+
+
+def _cho_solve_bwd(res, g):
+    # x = K⁻¹b with K = LLᵀ: gb = K⁻¹g, gK = −gb xᵀ, gL = tril((gK + gKᵀ)L).
+    low, x = res
+    gb = _cho_solve_impl(low, g)
+    gk = -gb[..., :, None] * x[..., None, :]
+    gl = jnp.matmul(gk + jnp.swapaxes(gk, -1, -2), low)
+    return jnp.tril(gl), gb
+
+
+cho_solve_pallas.defvjp(_cho_solve_fwd, _cho_solve_bwd)

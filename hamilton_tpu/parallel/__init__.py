@@ -11,10 +11,20 @@ from hamilton_tpu.parallel.mesh import (
     replicated_sharding,
     shard_phase,
 )
+from hamilton_tpu.parallel.distributed import (
+    global_ensemble_mesh,
+    init_distributed,
+    is_distributed,
+    local_batch_slice,
+)
 
 __all__ = [
     "ensemble_mesh",
     "ensemble_sharding",
     "replicated_sharding",
     "shard_phase",
+    "init_distributed",
+    "is_distributed",
+    "global_ensemble_mesh",
+    "local_batch_slice",
 ]

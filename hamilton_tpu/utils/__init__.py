@@ -8,7 +8,7 @@ from hamilton_tpu.utils.observables import (
     lyapunov_estimate,
 )
 from hamilton_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
-from hamilton_tpu.utils.diagnostics import check_finite_phase, nan_guard
+from hamilton_tpu.utils.diagnostics import check_finite_phase, checked, nan_guard
 from hamilton_tpu.utils.poincare import coordinate_section, poincare_section
 from hamilton_tpu.utils.profiling import benchmark_fn
 
@@ -20,6 +20,7 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "check_finite_phase",
+    "checked",
     "nan_guard",
     "benchmark_fn",
     "poincare_section",

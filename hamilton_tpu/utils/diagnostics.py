@@ -3,18 +3,27 @@
 The physics analog of failure detection (SURVEY.md §5): long ``lax.scan``
 horizons can silently go non-finite (too-large dt, singular coordinate maps
 like the two-body ``r → 0``).  These helpers catch that without breaking jit.
+
+Error semantics: :func:`nan_guard` records a ``checkify`` error — exceptions
+cannot reliably cross compiled-TPU execution, so the error is *carried* as a
+value and raised on the host by :func:`checked` (or by the caller running
+``checkify.checkify`` + ``err.throw()`` itself).  This makes the failure path
+deterministic under jit on every backend.
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import checkify
 
 from hamilton_tpu.mechanics import hamiltonian
 from hamilton_tpu.state import Phase
 from hamilton_tpu.system import System
 
-__all__ = ["check_finite_phase", "nan_guard", "energy_sentinel"]
+__all__ = ["check_finite_phase", "nan_guard", "checked", "energy_sentinel"]
 
 
 def check_finite_phase(phase: Phase) -> jax.Array:
@@ -25,17 +34,36 @@ def check_finite_phase(phase: Phase) -> jax.Array:
 
 
 def nan_guard(phase: Phase, where: str = "step") -> Phase:
-    """Inside jit: raise (via ``checkify``-style debug callback) if the state
-    went non-finite.  Pass-through otherwise — insertable in any hot loop at
-    zero cost when finite (the check fuses into the scan)."""
-    ok = check_finite_phase(phase)
+    """Record a ``checkify`` error if the state went non-finite; pass-through
+    otherwise.  Insertable in any hot loop (scan/fori/cond-safe).
 
-    def _report(ok_val):
-        if not ok_val:
-            raise FloatingPointError(f"non-finite state detected at {where}")
-
-    jax.debug.callback(_report, ok)
+    The guarded computation must be run through :func:`checked` (or
+    ``checkify.checkify`` directly) for the error to surface as a raised
+    ``JaxRuntimeError`` — a raise inside compiled TPU code would be silently
+    swallowed, so the error is threaded as a value instead.
+    """
+    checkify.check(
+        check_finite_phase(phase), f"non-finite state detected at {where}"
+    )
     return phase
+
+
+def checked(fn: Callable, *, errors=checkify.user_checks) -> Callable:
+    """Wrap ``fn`` (which may contain :func:`nan_guard` /
+    ``checkify.check`` calls, and may be jitted) so that carried errors are
+    raised on the host after the computation returns.
+
+    ``errors=checkify.float_checks`` additionally instruments every
+    floating-point op for NaN/inf (heavier; debugging mode).
+    """
+    cfn = checkify.checkify(fn, errors=errors)
+
+    def run(*args, **kwargs):
+        err, out = cfn(*args, **kwargs)
+        err.throw()
+        return out
+
+    return run
 
 
 def energy_sentinel(

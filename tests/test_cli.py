@@ -93,6 +93,31 @@ class TestHeadless:
         assert out.returncode == 0, out.stderr
         assert "[ Double pendulum ]" in out.stdout
 
+    def test_dt_honored_at_any_rate(self):
+        """With --dt given, the substep size must track the actual frame
+        advance rate/FPS — including after interactive rate changes — not a
+        hardcoded rate of 1 (reference substep semantics)."""
+        from hamilton_tpu.cli import FPS, _make_step
+        from hamilton_tpu.integrators.evolve import evolve_ham_fixed
+        from hamilton_tpu.models import double_pendulum
+
+        ex = double_pendulum()
+        dt_req = 1e-3
+        step = _make_step(ex, "leapfrog", dt_req)
+        for rate in (1.0, 2.37):  # 2.37 ≈ a few '>' presses
+            frame_dt = rate / FPS
+            got = step(ex.init_phase, frame_dt)
+            n_sub = max(1, round(frame_dt / dt_req))
+            # effective substep within rounding of the requested dt
+            assert abs(frame_dt / n_sub - dt_req) <= dt_req / n_sub
+            want = evolve_ham_fixed(
+                ex.system, ex.init_phase, frame_dt / n_sub, n_sub,
+                method="leapfrog", emit_every=n_sub,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.q), np.asarray(want.q[-1]), rtol=1e-12
+            )
+
     def test_non_tty_without_frames_errors(self):
         out = subprocess.run(
             [sys.executable, "-m", "hamilton_tpu.cli"],

@@ -188,3 +188,55 @@ class Test2DBatchGrid:
         np.testing.assert_allclose(
             np.asarray(final.q[3, 1]), np.asarray(single.q[-1]), rtol=1e-9
         )
+
+
+class TestDistributedHooks:
+    """Multi-host runtime wrappers (SURVEY §5 distributed row).  This test
+    environment is single-process, so only the graceful-degradation paths
+    run; the multi-process path is the same mesh/shard_map code over the
+    global device set."""
+
+    def test_init_distributed_single_process_is_noop(self):
+        from hamilton_tpu.parallel import init_distributed, is_distributed
+
+        # jax is already initialized here (and no cluster env exists), so
+        # auto-detection must degrade to single-process mode, not raise
+        assert init_distributed() in (False, True)
+        assert not is_distributed()
+
+    def test_init_distributed_explicit_bad_coordinator_raises(self):
+        import pytest
+
+        from hamilton_tpu.parallel import init_distributed
+
+        with pytest.raises(Exception):
+            init_distributed(
+                coordinator_address="127.0.0.1:1", num_processes=2, process_id=0
+            )
+
+    def test_global_mesh_and_local_slice(self, devices8):
+        from hamilton_tpu.parallel import global_ensemble_mesh, local_batch_slice
+
+        mesh = global_ensemble_mesh(param_axis=2)
+        assert mesh.shape["ensemble"] * mesh.shape["param"] == len(jax.devices())
+        sl = local_batch_slice(64)
+        assert (sl.stop - sl.start) * jax.process_count() == 64
+
+    def test_sharded_evolution_over_global_mesh(self, devices8):
+        from hamilton_tpu.ensemble import evolve_ensemble_sharded
+        from hamilton_tpu.models import chain
+        from hamilton_tpu.parallel import global_ensemble_mesh, shard_phase
+
+        ex = chain(n_links=3)
+        mesh = global_ensemble_mesh()
+        b = 16
+        ph = Phase(
+            jnp.tile(ex.init_phase.q, (b, 1)), jnp.tile(ex.init_phase.p, (b, 1))
+        )
+        ph = shard_phase(ph, mesh)
+        final, drift = evolve_ensemble_sharded(
+            ex.system, ph, 1e-3, 4, mesh=mesh, method="leapfrog", iters=3,
+            drift_every=4, reduce_stats="max",
+        )
+        assert final.q.shape == (b, 3)
+        assert float(drift) < 1e-6

@@ -249,6 +249,44 @@ class TestBatchedAdaptive:
                 np.asarray(batched.q[1, i]), np.asarray(single.q[1]), atol=1e-6
             )
 
+    def test_batched_evolve_per_member(self):
+        """batch_mode='per_member': an N-member batch is STEP-FOR-STEP
+        identical to N single runs (the reference's per-trajectory adaptive
+        behavior, Hamilton.hs:445-448) — bitwise-level equivalence, not just
+        solver-accuracy agreement."""
+        ph0 = DP.init_phase
+        b = 3
+        q = jnp.stack([ph0.q + 0.05 * i for i in range(b)])
+        p = jnp.tile(ph0.p, (b, 1))
+        ts = jnp.array([0.0, 0.2, 0.5, 1.0])
+        batched = evolve_ham(
+            DP.system, Phase(q, p), ts, batch_mode="per_member"
+        )
+        assert batched.q.shape == (len(ts), b, 2)
+        for i in range(b):
+            single = evolve_ham(DP.system, Phase(q[i], p[i]), ts)
+            np.testing.assert_allclose(
+                np.asarray(batched.q[:, i]), np.asarray(single.q),
+                rtol=1e-12, atol=1e-12,
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched.p[:, i]), np.asarray(single.p),
+                rtol=1e-12, atol=1e-12,
+            )
+
+    def test_shared_vs_per_member_controllers_differ(self):
+        """The two batched controllers are genuinely different: lock-step
+        shared stepping is controlled by the worst member, so with
+        heterogeneous members its trajectory differs (at solver-error level)
+        from the per-member one."""
+        ph0 = DP.init_phase
+        q = jnp.stack([ph0.q, ph0.q + 0.4])
+        p = jnp.stack([ph0.p, ph0.p + 0.3])
+        ts = jnp.array([0.0, 1.0])
+        shared = evolve_ham(DP.system, Phase(q, p), ts, batch_mode="shared")
+        per = evolve_ham(DP.system, Phase(q, p), ts, batch_mode="per_member")
+        assert float(jnp.max(jnp.abs(shared.q - per.q))) > 0.0
+
 
 class TestCompensated:
     def test_compensated_f32_drift_much_smaller(self):

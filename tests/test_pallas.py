@@ -32,8 +32,9 @@ class TestPallasKernelsInterpret:
         vec = rng.normal(size=(b, n)).astype(np.float32)
         with pltpu.force_tpu_interpret_mode():
             x = np.asarray(ps.spd_solve_pallas(jnp.asarray(k), jnp.asarray(vec)))
-        expect = np.stack([np.linalg.solve(k[i], vec[i]) for i in range(4)])
-        np.testing.assert_allclose(x[:4], expect, rtol=2e-4, atol=2e-4)
+        # full-batch comparison: every member, not a row sample
+        expect = np.linalg.solve(k.astype(np.float64), vec.astype(np.float64)[..., None])[..., 0]
+        np.testing.assert_allclose(x, expect, rtol=5e-4, atol=5e-4)
 
     def test_padding_path(self, rng):
         n, b = 5, 1100  # not a multiple of 1024
@@ -42,8 +43,22 @@ class TestPallasKernelsInterpret:
         with pltpu.force_tpu_interpret_mode():
             x = np.asarray(ps.spd_solve_pallas(jnp.asarray(k), jnp.asarray(vec)))
         assert x.shape == (b, n)
-        expect = np.linalg.solve(k[-1], vec[-1])
-        np.testing.assert_allclose(x[-1], expect, rtol=2e-4, atol=2e-4)
+        expect = np.linalg.solve(k.astype(np.float64), vec.astype(np.float64)[..., None])[..., 0]
+        np.testing.assert_allclose(x, expect, rtol=5e-4, atol=5e-4)
+
+    def test_bf16_path(self, rng):
+        n, b = 4, 1024
+        k = _random_spd(rng, b, n)
+        vec = rng.normal(size=(b, n)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            x = ps.spd_solve_pallas(
+                jnp.asarray(k, jnp.bfloat16), jnp.asarray(vec, jnp.bfloat16)
+            )
+        assert x.dtype == jnp.bfloat16
+        expect = np.linalg.solve(k.astype(np.float64), vec.astype(np.float64)[..., None])[..., 0]
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32), expect, rtol=5e-2, atol=5e-2
+        )
 
     def test_chol_then_solve_matches_fused(self, rng):
         n, b = 6, 1024
@@ -80,6 +95,102 @@ class TestPallasKernelsInterpret:
         )
         np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                    rtol=2e-3, atol=2e-3)
+
+
+class TestFactorSolveVJP:
+    """custom_vjp coverage for the factor/solve kernels (member-major and
+    batch-minor): gradients must flow through the factor-cached steppers on
+    TPU, where the Pallas route replaces the masked fallback."""
+
+    def test_cholesky_then_solve_grad_matches_masked(self, rng):
+        from hamilton_tpu.ops.linalg import _masked_cho_solve, _masked_cholesky
+
+        n, b = 4, 1024
+        k = jnp.asarray(_random_spd(rng, b, n, np.float64).astype(np.float32))
+        vec = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+
+        def loss_pallas(kk, bb):
+            low = ps.cholesky_pallas(kk)
+            return jnp.sum(ps.cho_solve_pallas(low, bb) ** 2)
+
+        def loss_masked(kk, bb):
+            return jnp.sum(_masked_cho_solve(_masked_cholesky(kk), bb) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_pallas, argnums=(0, 1))(k, vec)
+        g2 = jax.grad(loss_masked, argnums=(0, 1))(k, vec)
+        # the solve adjoint puts dK in one-sided form; compare symmetrized
+        sym = lambda m: (m + jnp.swapaxes(m, -1, -2)) / 2
+        np.testing.assert_allclose(
+            np.asarray(sym(g1[0])), np.asarray(sym(g2[0])), rtol=3e-3, atol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(g1[1]), np.asarray(g2[1]), rtol=3e-3, atol=3e-3
+        )
+
+    def test_bt_forward_matches_member_major(self, rng):
+        n, b = 5, 2048
+        k = _random_spd(rng, b, n)
+        vec = rng.normal(size=(b, n)).astype(np.float32)
+        k_t = jnp.asarray(np.moveaxis(k, 0, -1))  # (n, n, B)
+        b_t = jnp.asarray(vec.T)  # (n, B)
+        with pltpu.force_tpu_interpret_mode():
+            x_bt = np.asarray(ps.spd_solve_bt(k_t, b_t))
+            l_bt = np.asarray(ps.cholesky_bt(k_t))
+            x_cs = np.asarray(ps.cho_solve_bt(jnp.asarray(l_bt), b_t))
+            x_mm = np.asarray(ps.spd_solve_pallas(jnp.asarray(k), jnp.asarray(vec)))
+        np.testing.assert_allclose(x_bt.T, x_mm, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(x_cs.T, x_mm, rtol=1e-5, atol=1e-5)
+        # factor reproduces K (full batch)
+        kk = np.einsum("ikb,jkb->ijb", l_bt, l_bt)
+        np.testing.assert_allclose(
+            np.moveaxis(kk, -1, 0), k, rtol=2e-4, atol=2e-4
+        )
+
+    def test_bt_padding(self, rng):
+        n, b = 4, 1500  # not a TILE_B multiple
+        k = _random_spd(rng, b, n)
+        vec = rng.normal(size=(b, n)).astype(np.float32)
+        k_t = jnp.asarray(np.moveaxis(k, 0, -1))
+        b_t = jnp.asarray(vec.T)
+        with pltpu.force_tpu_interpret_mode():
+            x = np.asarray(ps.spd_solve_bt(k_t, b_t))
+        expect = np.linalg.solve(k.astype(np.float64), vec.astype(np.float64)[..., None])[..., 0]
+        np.testing.assert_allclose(x.T, expect, rtol=5e-4, atol=5e-4)
+
+    def test_bt_grads_match_member_major(self, rng):
+        from hamilton_tpu.ops.linalg import _masked_cho_solve, _masked_cholesky
+
+        n, b = 3, 1024
+        k = _random_spd(rng, b, n, np.float64).astype(np.float32)
+        vec = rng.normal(size=(b, n)).astype(np.float32)
+        k_t = jnp.asarray(np.moveaxis(k, 0, -1))
+        b_t = jnp.asarray(vec.T)
+
+        def loss_bt(kk_t, bb_t):
+            low = ps.cholesky_bt(kk_t)
+            return jnp.sum(ps.cho_solve_bt(low, bb_t) ** 2)
+
+        def loss_fused_bt(kk_t, bb_t):
+            return jnp.sum(ps.spd_solve_bt(kk_t, bb_t) ** 2)
+
+        def loss_masked(kk, bb):
+            return jnp.sum(_masked_cho_solve(_masked_cholesky(kk), bb) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g_bt = jax.grad(loss_bt, argnums=(0, 1))(k_t, b_t)
+            g_f = jax.grad(loss_fused_bt, argnums=(0, 1))(k_t, b_t)
+        g_m = jax.grad(loss_masked, argnums=(0, 1))(jnp.asarray(k), jnp.asarray(vec))
+        sym_bt = lambda m: (m + jnp.swapaxes(m, 0, 1)) / 2
+        sym = lambda m: (m + jnp.swapaxes(m, -1, -2)) / 2
+        for g in (g_bt, g_f):
+            np.testing.assert_allclose(
+                np.moveaxis(np.asarray(sym_bt(g[0])), -1, 0),
+                np.asarray(sym(g_m[0])), rtol=3e-3, atol=3e-3,
+            )
+            np.testing.assert_allclose(
+                np.asarray(g[1]).T, np.asarray(g_m[1]), rtol=3e-3, atol=3e-3
+            )
 
 
 class TestBatchAwareMechanics:

@@ -106,6 +106,46 @@ class TestDiagnostics:
         blown = Phase(ph.q, ph.p + 1e6)
         assert not bool(energy_sentinel(DP.system, blown, h0))
 
+    def test_nan_guard_reports_under_jit(self):
+        """A deliberately-divergent jitted run must actually raise: the error
+        is carried as a checkify value and thrown on the host (a raise inside
+        compiled code would be swallowed on TPU)."""
+        from jax.experimental import checkify
+
+        from hamilton_tpu.utils.diagnostics import checked, nan_guard
+
+        def poison(ph: Phase, bad) -> Phase:
+            out = Phase(ph.q / bad, ph.p)  # bad=0 → inf
+            return nan_guard(out, where="test-step")
+
+        run = checked(jax.jit(poison))
+        ok = run(DP.init_phase, jnp.asarray(2.0))
+        assert bool(check_finite_phase(ok))
+        with pytest.raises(checkify.JaxRuntimeError, match="test-step"):
+            run(DP.init_phase, jnp.asarray(0.0))
+
+    def test_nan_guard_reports_inside_loop(self):
+        """The guard must survive a fori_loop hot loop (checkify
+        functionalizes the loop) and report mid-horizon divergence."""
+        from jax.experimental import checkify
+
+        from hamilton_tpu.utils.diagnostics import checked, nan_guard
+
+        def evolve(ph: Phase, scale) -> Phase:
+            def body(i, p):
+                p = Phase(p.q * scale, p.p)  # scale>1 → overflow eventually
+                return nan_guard(p, where="loop")
+
+            return jax.lax.fori_loop(0, 50, body, ph)
+
+        run = checked(jax.jit(evolve))
+        run(DP.init_phase, jnp.asarray(1.0))  # finite: no raise
+        with pytest.raises(checkify.JaxRuntimeError, match="loop"):
+            run(
+                Phase(jnp.full(2, 1e30), jnp.zeros(2)),
+                jnp.asarray(1e30),
+            )
+
 
 class TestProfiling:
     def test_benchmark_fn(self):

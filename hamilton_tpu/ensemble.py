@@ -33,7 +33,12 @@ from hamilton_tpu.mechanics import hamiltonian
 from hamilton_tpu.state import Phase
 from hamilton_tpu.system import System
 
-__all__ = ["evolve_ensemble", "evolve_ensemble_sharded", "evolve_ensemble_final"]
+__all__ = [
+    "evolve_ensemble",
+    "evolve_ensemble_sharded",
+    "evolve_ensemble_final",
+    "evolve_ensemble_chunked",
+]
 
 
 def evolve_ensemble(
@@ -75,6 +80,54 @@ def evolve_ensemble(
     )
 
 
+def _drift_measure(system: System, phase0: Phase, drift_dtype):
+    """The energy-drift measurement closure: ``(measure_h, h0, h_scale)``.
+
+    ``drift_dtype`` (e.g. ``jnp.float64``, requires x64 enabled) evaluates
+    the energy *measurement* at higher precision than the trajectory — at
+    f32 the H-evaluation's own rounding (~1e-6 relative) otherwise masks the
+    true drift of a compensated integration.
+    """
+    if drift_dtype is not None:
+        h_system = jax.tree_util.tree_map(
+            lambda a: a.astype(drift_dtype), system
+        )
+
+        def measure_h(ph):
+            return hamiltonian(h_system, ph.astype(drift_dtype))
+
+    else:
+        def measure_h(ph):
+            return hamiltonian(system, ph)
+
+    h0 = measure_h(phase0)
+    h_scale = jnp.maximum(jnp.abs(h0), 1.0)
+    return measure_h, h0, h_scale
+
+
+def _final_loop_body(stepper, dt, measure_h, h0, h_scale, drift_every, track_drift):
+    """The flat hot-loop body shared by the one-dispatch and chunked drivers.
+
+    ONE flat loop (nested scan-of-fori de-optimizes ~5-11× on TPU); the
+    drift sample is a cond-guarded computation every ``drift_every`` steps.
+    """
+
+    def body(i, state):
+        carry, drift = state
+        carry = stepper.step(carry, dt)
+        if track_drift:
+            def sample(d):
+                h = measure_h(stepper.extract(carry))
+                return jnp.maximum(d, jnp.abs(h - h0) / h_scale)
+
+            drift = jax.lax.cond(
+                (i + 1) % drift_every == 0, sample, lambda d: d, drift
+            )
+        return (carry, drift)
+
+    return body
+
+
 def evolve_ensemble_final(
     system: System,
     phase0: Phase,
@@ -96,10 +149,10 @@ def evolve_ensemble_final(
     ``drift_every`` steps (the BASELINE.md ``max |ΔH/H₀|`` metric), or None
     when ``track_drift=False``.
 
-    ``drift_dtype`` (e.g. ``jnp.float64``, requires x64 enabled) evaluates
-    the energy *measurement* at higher precision than the trajectory — at
-    f32 the H-evaluation's own rounding (~1e-6 relative) otherwise masks the
-    true drift of a compensated integration.
+    See :func:`_drift_measure` for ``drift_dtype``.  This runs the whole
+    horizon as ONE device dispatch — for horizons long enough to risk
+    dispatch-length limits (or when host-side progress/checkpointing is
+    wanted), use :func:`evolve_ensemble_chunked`.
     """
     if n_steps % drift_every != 0:
         raise ValueError(f"{n_steps=} not divisible by {drift_every=}")
@@ -108,40 +161,75 @@ def evolve_ensemble_final(
     )
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)  # batch-native: mechanics are batch-aware
-
-    if drift_dtype is not None:
-        h_system = jax.tree_util.tree_map(
-            lambda a: a.astype(drift_dtype), system
-        )
-
-        def measure_h(ph):
-            return hamiltonian(h_system, ph.astype(drift_dtype))
-
-    else:
-        def measure_h(ph):
-            return hamiltonian(system, ph)
-
-    h0 = measure_h(phase0)
-    h_scale = jnp.maximum(jnp.abs(h0), 1.0)
-
-    # ONE flat loop (nested scan-of-fori de-optimizes ~5-11× on TPU); the
-    # drift sample is a cond-guarded computation every drift_every steps.
-    def body(i, state):
-        carry, drift = state
-        carry = stepper.step(carry, dt)
-        if track_drift:
-            def sample(d):
-                h = measure_h(stepper.extract(carry))
-                return jnp.maximum(d, jnp.abs(h - h0) / h_scale)
-
-            drift = jax.lax.cond(
-                (i + 1) % drift_every == 0, sample, lambda d: d, drift
-            )
-        return (carry, drift)
-
+    measure_h, h0, h_scale = _drift_measure(system, phase0, drift_dtype)
+    body = _final_loop_body(
+        stepper, dt, measure_h, h0, h_scale, drift_every, track_drift
+    )
     carry, drift = jax.lax.fori_loop(
         0, n_steps, body, (carry0, jnp.zeros_like(h0))
     )
+    final = stepper.extract(carry)
+    return final, (drift if track_drift else None)
+
+
+def evolve_ensemble_chunked(
+    system: System,
+    phase0: Phase,
+    dt: float,
+    n_steps: int,
+    *,
+    chunk_steps: int,
+    method: str = "gauss4",
+    iters: int = 6,
+    omega: float = 20.0,
+    track_drift: bool = True,
+    drift_every: int = 100,
+    compensated: bool = False,
+    drift_dtype=None,
+    callback=None,
+) -> Tuple[Phase, Optional[jax.Array]]:
+    """Like :func:`evolve_ensemble_final`, but the horizon is executed as
+    ``n_steps // chunk_steps`` separate device dispatches of one compiled
+    chunk graph.
+
+    Semantically identical to the one-dispatch driver: the integrator carry —
+    including the Kahan compensation state and cached ``QFactor`` — crosses
+    chunk boundaries intact, so only the dispatch granularity changes.  (XLA
+    may fuse ops differently at the dispatch boundary, so results can differ
+    from the one-dispatch driver by ~1 ULP.)
+    Use for 10⁵-step-scale horizons where a single very long dispatch risks
+    device-runtime limits, and for host-side progress reporting or
+    checkpointing between chunks.
+
+    ``callback(chunk_index, phase, drift)``, if given, runs on the host after
+    each chunk (it blocks on the chunk's results; return value ignored).
+    ``chunk_steps`` must divide ``n_steps`` and be a multiple of
+    ``drift_every`` (so drift sampling stays globally aligned).
+    """
+    if n_steps % chunk_steps != 0:
+        raise ValueError(f"{n_steps=} not divisible by {chunk_steps=}")
+    if track_drift and chunk_steps % drift_every != 0:
+        raise ValueError(f"{chunk_steps=} not divisible by {drift_every=}")
+    stepper = make_stepper(
+        system, method, iters=iters, omega=omega, compensated=compensated
+    )
+    dt = jnp.asarray(dt, phase0.q.dtype)
+    carry0 = stepper.init(phase0)
+    measure_h, h0, h_scale = _drift_measure(system, phase0, drift_dtype)
+    body = _final_loop_body(
+        stepper, dt, measure_h, h0, h_scale, drift_every, track_drift
+    )
+
+    @jax.jit
+    def chunk(carry, drift):
+        return jax.lax.fori_loop(0, chunk_steps, body, (carry, drift))
+
+    carry, drift = carry0, jnp.zeros_like(h0)
+    for ci in range(n_steps // chunk_steps):
+        carry, drift = chunk(carry, drift)
+        if callback is not None:
+            jax.block_until_ready(drift)
+            callback(ci, stepper.extract(carry), drift)
     final = stepper.extract(carry)
     return final, (drift if track_drift else None)
 

@@ -58,6 +58,35 @@ def _vmap_leading(fn, ndim: int):
     return fn
 
 
+def _tiles_ok(q: jax.Array) -> bool:
+    """Route this call through the tile-resident Pallas hot path?  True for a
+    native single batch axis whose size is a register-tile multiple on a
+    TPU-like backend (the ensemble hot loop); everything else takes the
+    dense/masked path.  Static — resolved at trace time."""
+    if q.ndim != 2:
+        return False
+    from hamilton_tpu.ops.pallas_solve import tiles_eligible
+
+    return tiles_eligible(q.shape[0], q.shape[1], q.dtype)
+
+
+def _k_tiles(system: System, j: jax.Array) -> jax.Array:
+    from hamilton_tpu.ops.pallas_solve import k_tiles_from_jacobian
+
+    return k_tiles_from_jacobian(j, system.inertia)
+
+
+def _solve_tiles(k_tiles: jax.Array, b: jax.Array) -> jax.Array:
+    """Fused SPD solve on a tile-layout K with a member-major vector."""
+    from hamilton_tpu.ops.pallas_solve import (
+        from_vec_tiles,
+        spd_solve_tiles,
+        to_vec_tiles,
+    )
+
+    return from_vec_tiles(spd_solve_tiles(k_tiles, to_vec_tiles(b)))
+
+
 def _jacobian(system: System, q: jax.Array) -> jax.Array:
     """J(q) with leading batch axes: (..., m, n)."""
     return _vmap_leading(system.jacobian, q.ndim - 1)(q)
@@ -88,7 +117,12 @@ def momenta(system: System, config: Config) -> jax.Array:
 
 def velocities(system: System, phase: Phase) -> jax.Array:
     """Generalized velocities ``q̇ = (JᵀMJ)⁻¹ p`` (reference ``velocities``,
-    ``Numeric/Hamilton.hs:316-324``) via Cholesky, batch-aware."""
+    ``Numeric/Hamilton.hs:316-324``) via Cholesky, batch-aware.  On the
+    ensemble hot path K is contracted directly into register-tile layout and
+    solved there (no matrix relayout)."""
+    if _tiles_ok(phase.q):
+        j = _jacobian(system, phase.q)
+        return _solve_tiles(_k_tiles(system, j), phase.p)
     return spd_solve(mass_matrix(system, phase.q), phase.p)
 
 
@@ -159,8 +193,11 @@ def ham_eqs(system: System, phase: Phase) -> Tuple[jax.Array, jax.Array]:
     """
     q, p = phase.q, phase.p
     j = _jacobian(system, q)  # (..., m, n)
-    k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j)
-    w = spd_solve(k_mat, p)  # q̇ = K⁻¹p  (∂H/∂p, :386)
+    if _tiles_ok(q):
+        w = _solve_tiles(_k_tiles(system, j), p)
+    else:
+        k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j)
+        w = spd_solve(k_mat, p)  # q̇ = K⁻¹p  (∂H/∂p, :386)
     u = system.inertia * jnp.einsum("...mn,...n->...m", j, w)
     dhdq = _dtdq(system, q, w, u) + _grad_u(system, q)  # (:387)
     return w, -dhdq
@@ -172,24 +209,47 @@ class QFactor(NamedTuple):
     fixed-point loops, and across consecutive leapfrog steps).
 
     All fields are arrays (with leading batch axes matching ``q``), so a
-    ``QFactor`` is carryable through ``scan``/``fori_loop``.
+    ``QFactor`` is carryable through ``scan``/``fori_loop``.  On the ensemble
+    hot path ``chol`` is held in Pallas register-tile layout
+    ``(G, n², 8, 128)`` — produced and consumed with zero matrix relayout —
+    and in dense ``(..., n, n)`` layout everywhere else; the consumers
+    dispatch on the array rank.
     """
 
     jac: jax.Array  # J(q), (..., m, n)
-    chol: jax.Array  # lower Cholesky factor of K(q) = JᵀMJ, (..., n, n)
+    chol: jax.Array  # lower Cholesky factor of K(q): (..., n, n) or tiles
     grad_u: jax.Array  # ∇U(q), (..., n)
 
 
 def q_factor(system: System, q: jax.Array) -> QFactor:
     """Factorize the q-dependent parts of :func:`ham_eqs` once."""
     j = _jacobian(system, q)
+    if _tiles_ok(q):
+        from hamilton_tpu.ops.pallas_solve import cholesky_tiles
+
+        return QFactor(
+            j, cholesky_tiles(_k_tiles(system, j)), _grad_u(system, q)
+        )
     k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j)
     return QFactor(j, small_cholesky(k_mat), _grad_u(system, q))
 
 
+def _factor_solve(factor: QFactor, p: jax.Array) -> jax.Array:
+    """``K⁻¹p`` from a cached factor, dispatching on the factor layout."""
+    if factor.chol.ndim == 4 and p.ndim == 2:
+        from hamilton_tpu.ops.pallas_solve import (
+            cho_solve_tiles,
+            from_vec_tiles,
+            to_vec_tiles,
+        )
+
+        return from_vec_tiles(cho_solve_tiles(factor.chol, to_vec_tiles(p)))
+    return small_cho_solve(factor.chol, p)
+
+
 def dhdp_factored(factor: QFactor, p: jax.Array) -> jax.Array:
     """``∂H/∂p = q̇ = K⁻¹p`` from a cached factor — substitutions only."""
-    return small_cho_solve(factor.chol, p)
+    return _factor_solve(factor, p)
 
 
 def dhdq_factored(
@@ -197,7 +257,7 @@ def dhdq_factored(
 ) -> jax.Array:
     """``∂H/∂q`` from a cached factor: only the w-dependent VJP sweep is
     recomputed."""
-    w = small_cho_solve(factor.chol, p)
+    w = _factor_solve(factor, p)
     u = system.inertia * jnp.einsum("...mn,...n->...m", factor.jac, w)
     return _dtdq(system, q, w, u) + factor.grad_u
 

@@ -23,6 +23,7 @@ Public entry points pad B up to a multiple of 1024 with identity systems.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -37,6 +38,13 @@ __all__ = [
     "spd_solve_bt",
     "cholesky_bt",
     "cho_solve_bt",
+    "spd_solve_tiles",
+    "cholesky_tiles",
+    "cho_solve_tiles",
+    "to_vec_tiles",
+    "from_vec_tiles",
+    "k_tiles_from_jacobian",
+    "tiles_eligible",
     "TILE_B",
 ]
 
@@ -195,6 +203,186 @@ class _RefView:
 
     def __setitem__(self, idx, val):
         self._ref[0, idx] = val
+
+
+# ---------------------------------------------------------------------------
+# Tile-layout entry points — the hot-loop path.
+#
+# The member-major (B, n, n) entry points pay a strided relayout into the
+# (8, 128) register tiles on every call; profiling the leapfrog hot loop
+# (scripts/perf_trace.py, v5e, 16384×chain-20) showed 2.5 of 4.5 ms/step
+# going to exactly those reshape/copy passes.  The fix: matrices stay in
+# tile layout (G, E, 8, 128) *across* the step —
+#
+#   * K is produced in tile layout straight out of the JᵀMJ contraction
+#     (:func:`k_tiles_from_jacobian` — the transpose fuses into the
+#     einsum's output instead of being a separate HBM pass);
+#   * the Cholesky factor lives in tile layout inside the integrators'
+#     ``QFactor`` carry and is consumed by :func:`cho_solve_tiles`
+#     with no relayout at all;
+#   * only the small (B, n) vectors are re-tiled per call
+#     (:func:`to_vec_tiles` / :func:`from_vec_tiles` — n/n² of the matrix
+#     traffic, ~1.3 MB at the benchmark point).
+#
+# The batch must be a TILE_B multiple (the ensemble hot path pads once at
+# entry if needed); the member-major entry points below remain for ad-hoc
+# batch sizes.
+# ---------------------------------------------------------------------------
+
+
+def tiles_eligible(batch: int, n: int, dtype) -> bool:
+    """Static check: may the tile-resident hot path take this shape?
+
+    ``HAMILTON_FORCE_PALLAS`` overrides the backend check (for exercising
+    the routing under the Pallas interpreter on CPU in tests)."""
+    if os.environ.get("HAMILTON_DISABLE_PALLAS"):
+        return False
+    if os.environ.get("HAMILTON_NO_TILES"):
+        # keep the kernels but disable the tile-resident routing (A/B
+        # benchmarking of the relayout strategies)
+        return False
+    if batch % TILE_B != 0 or batch == 0:
+        return False
+    if not 3 <= n <= 32:
+        return False
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if os.environ.get("HAMILTON_FORCE_PALLAS"):
+        return True
+    try:
+        return jax.default_backend() != "cpu"
+    except RuntimeError:
+        return False
+
+
+def to_vec_tiles(x: jax.Array) -> jax.Array:
+    """(B, n) → (G, n, 8, 128).  A small transpose (n/n² of matrix bytes)."""
+    b, n = x.shape
+    return jnp.moveaxis(x.reshape(b // TILE_B, 8, 128, n), 3, 1)
+
+
+def from_vec_tiles(xt: jax.Array) -> jax.Array:
+    """(G, n, 8, 128) → (B, n)."""
+    g, n = xt.shape[0], xt.shape[1]
+    return jnp.moveaxis(xt, 1, 3).reshape(g * TILE_B, n)
+
+
+def k_tiles_from_jacobian(j: jax.Array, inertia: jax.Array) -> jax.Array:
+    """``K = JᵀMJ`` in tile layout, from the member-major (B, m, n) Jacobian.
+
+    The contraction stays in the member-major order XLA lowers to a fast
+    batched dot (a tile-ordered einsum was tried and lowered to a
+    convolution + copies, net slower); the single explicit relayout of the
+    (B, n, n) result is the only transpose K pays per formation."""
+    k_mat = jnp.einsum("bmi,m,bmj->bij", j, inertia, j)
+    return _to_tiles(k_mat, 2)
+
+
+def _solve_tiles_impl(k_tiles, b_tiles, n):
+    return _run(
+        _kernel_wrap(_solve_kernel, n), [k_tiles, b_tiles],
+        [n * n, n], [n], k_tiles.dtype,
+    )
+
+
+@jax.custom_vjp
+def spd_solve_tiles(k_tiles: jax.Array, b_tiles: jax.Array) -> jax.Array:
+    """Fused factor+solve on tile-layout operands: ``K (G, n², 8, 128)``,
+    ``b (G, n, 8, 128)`` → ``x (G, n, 8, 128)``.  Zero relayout."""
+    n = b_tiles.shape[1]
+    return _solve_tiles_impl(k_tiles, b_tiles, n)
+
+
+def _spd_tiles_fwd(k_tiles, b_tiles):
+    x = _solve_tiles_impl(k_tiles, b_tiles, b_tiles.shape[1])
+    return x, (k_tiles, x)
+
+
+def _spd_tiles_bwd(res, g):
+    k_tiles, x = res
+    n = x.shape[1]
+    gb = _solve_tiles_impl(k_tiles, g, n)
+    gk = -gb[:, :, None] * x[:, None, :, :, :]  # (G, n, n, 8, 128)
+    return gk.reshape(k_tiles.shape), gb
+
+
+spd_solve_tiles.defvjp(_spd_tiles_fwd, _spd_tiles_bwd)
+
+
+def _cholesky_tiles_impl(k_tiles, n):
+    return _run(
+        _kernel_wrap(_chol_kernel, n), [k_tiles], [n * n], [n * n],
+        k_tiles.dtype,
+    )
+
+
+@jax.custom_vjp
+def cholesky_tiles(k_tiles: jax.Array) -> jax.Array:
+    """Lower Cholesky factor on tile-layout K: (G, n², 8, 128) →
+    (G, n², 8, 128).  Zero relayout; the factor is meant to *stay* in tile
+    layout (integrator carries) and be consumed by :func:`cho_solve_tiles`."""
+    n = int(round(k_tiles.shape[1] ** 0.5))
+    return _cholesky_tiles_impl(k_tiles, n)
+
+
+def _cholesky_tiles_fwd(k_tiles):
+    n = int(round(k_tiles.shape[1] ** 0.5))
+    return _cholesky_tiles_impl(k_tiles, n), k_tiles
+
+
+def _cholesky_tiles_bwd(k_tiles, g_l):
+    # cold path: pull back through the masked reference factorization on the
+    # member-major layout
+    from hamilton_tpu.ops.linalg import _masked_cholesky
+
+    g, e = k_tiles.shape[0], k_tiles.shape[1]
+    n = int(round(e ** 0.5))
+    k = _from_tiles(k_tiles, (n, n))
+    _, vjp_fn = jax.vjp(_masked_cholesky, k)
+    (g_k,) = vjp_fn(_from_tiles(g_l, (n, n)))
+    return (_to_tiles(g_k, 2),)
+
+
+cholesky_tiles.defvjp(_cholesky_tiles_fwd, _cholesky_tiles_bwd)
+
+
+def _cho_solve_tiles_impl(l_tiles, b_tiles, n):
+    return _run(
+        _kernel_wrap(_chosolve_kernel, n), [l_tiles, b_tiles],
+        [n * n, n], [n], l_tiles.dtype,
+    )
+
+
+@jax.custom_vjp
+def cho_solve_tiles(l_tiles: jax.Array, b_tiles: jax.Array) -> jax.Array:
+    """Solve ``L Lᵀ x = b`` on tile-layout operands (factor from
+    :func:`cholesky_tiles`): zero relayout."""
+    n = b_tiles.shape[1]
+    return _cho_solve_tiles_impl(l_tiles, b_tiles, n)
+
+
+def _cho_solve_tiles_fwd(l_tiles, b_tiles):
+    x = _cho_solve_tiles_impl(l_tiles, b_tiles, b_tiles.shape[1])
+    return x, (l_tiles, x)
+
+
+def _cho_solve_tiles_bwd(res, g):
+    l_tiles, x = res
+    n = x.shape[1]
+    gnum = l_tiles.shape[0]
+    gb = _cho_solve_tiles_impl(l_tiles, g, n)
+    gk = -gb[:, :, None] * x[:, None, :, :, :]  # (G, n, n, 8, 128)
+    gsym = gk + jnp.swapaxes(gk, 1, 2)
+    lt = l_tiles.reshape(gnum, n, n, 8, 128)
+    gl = jnp.einsum("gikst,gkjst->gijst", gsym, lt)
+    tril = (jnp.arange(n)[:, None] >= jnp.arange(n)[None, :])[
+        None, :, :, None, None
+    ]
+    gl = jnp.where(tril, gl, 0.0)
+    return gl.reshape(l_tiles.shape), gb
+
+
+cho_solve_tiles.defvjp(_cho_solve_tiles_fwd, _cho_solve_tiles_bwd)
 
 
 # ---------------------------------------------------------------------------

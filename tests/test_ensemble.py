@@ -240,3 +240,55 @@ class TestDistributedHooks:
         )
         assert final.q.shape == (b, 3)
         assert float(drift) < 1e-6
+
+
+class TestChunked:
+    """Chunked long-horizon driver: identical to the one-dispatch driver to
+    ~1 ULP (the carry incl. Kahan compensation and the cached QFactor
+    survives the dispatch cut; XLA fusion at the boundary may change final
+    roundings)."""
+
+    @pytest.mark.parametrize("method,comp", [
+        ("gauss4", False), ("leapfrog", True)
+    ])
+    def test_chunked_equals_one_dispatch(self, method, comp):
+        from hamilton_tpu.ensemble import evolve_ensemble_chunked
+
+        ph = make_batch(4)
+        kw = dict(method=method, iters=4, drift_every=5, compensated=comp)
+        f1, d1 = evolve_ensemble_final(DP.system, ph, 1e-3, 40, **kw)
+        f2, d2 = evolve_ensemble_chunked(
+            DP.system, ph, 1e-3, 40, chunk_steps=10, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(f1.q), np.asarray(f2.q), rtol=5e-15, atol=1e-18
+        )
+        np.testing.assert_allclose(
+            np.asarray(f1.p), np.asarray(f2.p), rtol=5e-15, atol=1e-18
+        )
+        np.testing.assert_allclose(
+            np.asarray(d1), np.asarray(d2), rtol=5e-12, atol=1e-16
+        )
+
+    def test_chunked_callback_and_validation(self):
+        from hamilton_tpu.ensemble import evolve_ensemble_chunked
+
+        ph = make_batch(2)
+        seen = []
+        evolve_ensemble_chunked(
+            DP.system, ph, 1e-3, 20, chunk_steps=5, method="leapfrog",
+            iters=3, drift_every=5,
+            callback=lambda ci, phase, drift: seen.append(
+                (ci, phase.q.shape, float(jnp.max(drift)))
+            ),
+        )
+        assert [s[0] for s in seen] == [0, 1, 2, 3]
+        assert all(s[1] == (2, 2) for s in seen)
+        # running max is monotone across chunks
+        assert seen[0][2] <= seen[-1][2] + 1e-18
+        with pytest.raises(ValueError):
+            evolve_ensemble_chunked(DP.system, ph, 1e-3, 20, chunk_steps=7)
+        with pytest.raises(ValueError):
+            evolve_ensemble_chunked(
+                DP.system, ph, 1e-3, 20, chunk_steps=10, drift_every=4
+            )

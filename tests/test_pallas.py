@@ -253,3 +253,147 @@ class TestBatchAwareMechanics:
             np.testing.assert_allclose(
                 np.asarray(out_b.q[i]), np.asarray(out_i.q), rtol=1e-9, atol=1e-12
             )
+
+
+class TestTileResidentHotPath:
+    """The tile-layout entry points and the mechanics routing that keeps
+    K/L in register-tile layout across the step (the relayout fix measured
+    in scripts/perf_trace.py)."""
+
+    def test_tile_entry_points_match_member_major(self, rng):
+        n, b = 6, 2048
+        k = _random_spd(rng, b, n)
+        vec = rng.normal(size=(b, n)).astype(np.float32)
+        kd, vd = jnp.asarray(k), jnp.asarray(vec)
+        with pltpu.force_tpu_interpret_mode():
+            kt = ps._to_tiles(kd, 2)
+            bt = ps.to_vec_tiles(vd)
+            x_t = ps.from_vec_tiles(ps.spd_solve_tiles(kt, bt))
+            l_t = ps.cholesky_tiles(kt)
+            x_cs = ps.from_vec_tiles(ps.cho_solve_tiles(l_t, bt))
+            x_mm = ps.spd_solve_pallas(kd, vd)
+            l_mm = ps.cholesky_pallas(kd)
+        np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_mm),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x_cs), np.asarray(x_mm),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ps._from_tiles(l_t, (n, n))), np.asarray(l_mm),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def test_k_tiles_from_jacobian(self, rng):
+        b, m, n = 1024, 8, 4
+        j = rng.normal(size=(b, m, n)).astype(np.float32)
+        inertia = rng.uniform(1.0, 2.0, size=(m,)).astype(np.float32)
+        kt = ps.k_tiles_from_jacobian(jnp.asarray(j), jnp.asarray(inertia))
+        k_ref = np.einsum("bmi,m,bmj->bij", j, inertia, j)
+        np.testing.assert_allclose(
+            np.asarray(ps._from_tiles(kt, (n, n))), k_ref, rtol=1e-5, atol=1e-5
+        )
+
+    def test_tile_grads_match_dense(self, rng):
+        from hamilton_tpu.ops.linalg import _masked_cho_solve, _masked_cholesky
+
+        n, b = 4, 1024
+        k = _random_spd(rng, b, n, np.float64).astype(np.float32)
+        vec = rng.normal(size=(b, n)).astype(np.float32)
+        kd, vd = jnp.asarray(k), jnp.asarray(vec)
+
+        def loss_tiles(kk, bb):
+            kt = ps._to_tiles(kk, 2)
+            bt = ps.to_vec_tiles(bb)
+            lt = ps.cholesky_tiles(kt)
+            x = ps.from_vec_tiles(ps.cho_solve_tiles(lt, bt))
+            y = ps.from_vec_tiles(ps.spd_solve_tiles(kt, bt))
+            return jnp.sum(x ** 2) + jnp.sum(y ** 2)
+
+        def loss_dense(kk, bb):
+            x = _masked_cho_solve(_masked_cholesky(kk), bb)
+            return 2 * jnp.sum(x ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_tiles, argnums=(0, 1))(kd, vd)
+        g2 = jax.grad(loss_dense, argnums=(0, 1))(kd, vd)
+        sym = lambda mmat: (mmat + jnp.swapaxes(mmat, -1, -2)) / 2
+        np.testing.assert_allclose(
+            np.asarray(sym(g1[0])), np.asarray(sym(g2[0])), rtol=3e-3, atol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(g1[1]), np.asarray(g2[1]), rtol=3e-3, atol=3e-3
+        )
+
+    def test_mechanics_route_through_tiles(self, rng, monkeypatch):
+        """With the force flag under the interpreter, ham_eqs/velocities/
+        q_factor route through the tile path and must match the dense path
+        run on the same inputs."""
+        from hamilton_tpu import Phase, ham_eqs
+        from hamilton_tpu.mechanics import (
+            dhdp_factored,
+            dhdq_factored,
+            q_factor,
+            velocities,
+        )
+        from hamilton_tpu.models import chain
+
+        ex = chain(n_links=6)
+        system = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), ex.system
+        )
+        b = 1024
+        q = jnp.asarray(rng.normal(size=(b, 6)).astype(np.float32) * 0.3)
+        p = jnp.asarray(rng.normal(size=(b, 6)).astype(np.float32) * 0.2)
+        ph = Phase(q, p)
+
+        dense = {}
+        dense["he"] = ham_eqs(system, ph)
+        dense["vel"] = velocities(system, ph)
+        fac_d = q_factor(system, q)
+        assert fac_d.chol.ndim == 3
+        dense["dhdp"] = dhdp_factored(fac_d, p)
+        dense["dhdq"] = dhdq_factored(system, fac_d, q, p)
+
+        monkeypatch.setenv("HAMILTON_FORCE_PALLAS", "1")
+        with pltpu.force_tpu_interpret_mode():
+            he = ham_eqs(system, ph)
+            vel = velocities(system, ph)
+            fac_t = q_factor(system, q)
+            assert fac_t.chol.ndim == 4  # tile-resident factor
+            dhdp = dhdp_factored(fac_t, p)
+            dhdq = dhdq_factored(system, fac_t, q, p)
+
+        np.testing.assert_allclose(np.asarray(he[0]), np.asarray(dense["he"][0]),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(he[1]), np.asarray(dense["he"][1]),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(vel), np.asarray(dense["vel"]),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dhdp), np.asarray(dense["dhdp"]),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dhdq), np.asarray(dense["dhdq"]),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_leapfrog_step_through_tiles(self, rng, monkeypatch):
+        """A full factor-cached leapfrog step on the tile path ≡ dense."""
+        from hamilton_tpu import Phase
+        from hamilton_tpu.integrators.fixed import make_stepper
+        from hamilton_tpu.models import chain
+
+        ex = chain(n_links=4)
+        system = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), ex.system
+        )
+        b = 1024
+        q = jnp.asarray(rng.normal(size=(b, 4)).astype(np.float32) * 0.3)
+        p = jnp.asarray(rng.normal(size=(b, 4)).astype(np.float32) * 0.2)
+        st = make_stepper(system, "leapfrog", iters=3)
+        dt = jnp.float32(1e-2)
+
+        out_d = st.extract(st.step(st.init(Phase(q, p)), dt))
+        monkeypatch.setenv("HAMILTON_FORCE_PALLAS", "1")
+        with pltpu.force_tpu_interpret_mode():
+            out_t = st.extract(st.step(st.init(Phase(q, p)), dt))
+        np.testing.assert_allclose(np.asarray(out_t.q), np.asarray(out_d.q),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_t.p), np.asarray(out_d.p),
+                                   rtol=2e-4, atol=2e-5)

@@ -13,8 +13,10 @@ Prints exactly ONE JSON line:
 
 Phases (each independently fault-tolerant; f32 accelerator phases run
 before the f64 attempt because a faulted f64 dispatch poisons the device):
-  1. TPU f32 chain-20 ensemble throughput (symplectic leapfrog,
-     factor-cached) — the headline metric.
+  1. TPU f32 chain-20 ensemble, FULL 1e5-step horizon (symplectic leapfrog,
+     factor-cached, Kahan-compensated, float32 matmul precision), executed
+     as chunked dispatches — the headline throughput AND the on-TPU
+     max|ΔH/H₀| (measured in f64 every 1000 steps during the same run).
   2. Double-pendulum north-star config: 16k-member f32 throughput plus the
      FULL 1e5-step f64 gauss4 drift (cheap at n=2) on the host.
   3. Chain-20 f64 gauss4 drift, capped horizon (bounded oscillation), with
@@ -57,34 +59,55 @@ def _build(batch, dtype, n_links=20):
 
 
 def phase_throughput(args):
-    from hamilton_tpu.ensemble import evolve_ensemble_final
+    """Headline: the FULL north-star horizon in one run — 16k members ×
+    ``--steps`` (default 1e5) steps on the accelerator, executed as chunked
+    dispatches (single very long dispatches can fault the relay), **with the
+    energy drift measured on-device in f64 during the same run** (sampled
+    every 1000 steps; trajectory stays f32, Kahan-compensated).
 
-    system, ph = _build(args.batch, jnp.float32)
-    dt = 1e-3
+    The library pins its contractions to full f32 (the TPU default lowers
+    dots to bf16 inputs, which breaks the 1e-6 drift bound — docs/design.md
+    "Precision on TPU"), and the hot path forms K inside the Pallas kernel,
+    so no precision override is needed here.  Throughput is reported from
+    the steady-state chunks (chunk 0 pays compile + the relay's ~8×
+    first-execution penalty and is excluded; its wall time is reported
+    separately).  x64 is enabled only for the f64 drift measurement
+    (measured free for the f32 hot loop).
+    """
+    from hamilton_tpu.ensemble import evolve_ensemble_chunked
 
-    def run(p, n):
-        final, _ = evolve_ensemble_final(
-            system, p, dt, n, method=args.method, iters=args.iters,
-            track_drift=False, drift_every=n,
+    chunk_steps = min(args.chunk_steps, args.steps)
+    n_steps = (args.steps // chunk_steps) * chunk_steps
+    chunk_wall = []
+    t_last = [time.perf_counter()]
+
+    def on_chunk(ci, phase, drift):
+        now = time.perf_counter()
+        chunk_wall.append(now - t_last[0])
+        t_last[0] = now
+
+    with jax.enable_x64(True):
+        system, ph = _build(args.batch, jnp.float32)
+        final, drift = evolve_ensemble_chunked(
+            system, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
+            method=args.method, iters=args.iters, compensated=True,
+            drift_every=1000, drift_dtype=jnp.float64, callback=on_chunk,
         )
-        return final
-
-    run_j = jax.jit(run, static_argnums=1)
-    t0 = time.perf_counter()
-    jax.block_until_ready(run_j(ph, args.steps))
-    compile_s = time.perf_counter() - t0
-    # The FIRST execution of a compiled graph through this TPU relay runs
-    # ~8x slower than steady state; warm the exact graph, then time it.
-    jax.block_until_ready(run_j(ph, args.steps))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run_j(ph, args.steps))
-    el = time.perf_counter() - t0
+        jax.block_until_ready(final.q)
+        max_drift = float(jnp.max(drift))
+    steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
+    el = sum(steady)
+    steady_steps = chunk_steps * len(steady)
     return {
-        "member_steps_per_sec": args.batch * args.steps / el,
-        "steps": args.steps,
+        "member_steps_per_sec": args.batch * steady_steps / el,
+        "steps": n_steps,
         "batch": args.batch,
-        "elapsed_s": round(el, 3),
-        "compile_s": round(compile_s, 1),
+        "elapsed_steady_s": round(el, 3),
+        "steady_chunks": len(steady),
+        "chunk_steps": chunk_steps,
+        "first_chunk_s": round(chunk_wall[0], 1),
+        "tpu_max_energy_drift_f32comp": max_drift,
+        "tpu_drift_steps": n_steps,
         "platform": jax.devices()[0].platform,
     }
 
@@ -198,7 +221,7 @@ def phase_double_pendulum(args):
         )[0],
         static_argnums=1,
     )
-    n = args.steps * 5  # dp steps are much cheaper than chain-20
+    n = 10_000  # dp steps are much cheaper than chain-20; 10k suffices
     jax.block_until_ready(run(ph, n))  # compile
     jax.block_until_ready(run(ph, n))  # first-execution warmup (see above)
     t0 = time.perf_counter()
@@ -272,7 +295,8 @@ def phase_cpu_baseline(args):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16384)
-    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--steps", type=int, default=100_000)
+    ap.add_argument("--chunk-steps", type=int, default=10_000)
     ap.add_argument("--warm-steps", type=int, default=50)
     ap.add_argument("--drift-steps", type=int, default=100_000)
     ap.add_argument("--drift-batch", type=int, default=1024)
@@ -284,7 +308,8 @@ def main(argv=None):
     ap.add_argument("--skip-drift", action="store_true")
     args = ap.parse_args(argv)
     if args.quick:
-        args.batch, args.steps = 4096, 500
+        args.batch, args.steps = 4096, 1000
+        args.chunk_steps = 500
         args.drift_steps, args.drift_batch = 5000, 256
         args.dp_drift_steps = 10_000
 

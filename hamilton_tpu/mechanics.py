@@ -70,21 +70,23 @@ def _tiles_ok(q: jax.Array) -> bool:
     return tiles_eligible(q.shape[0], q.shape[1], q.dtype)
 
 
-def _k_tiles(system: System, j: jax.Array) -> jax.Array:
-    from hamilton_tpu.ops.pallas_solve import k_tiles_from_jacobian
+def _jac_solve(system: System, j: jax.Array, b: jax.Array) -> jax.Array:
+    """``(JᵀMJ)⁻¹ b`` via the fused form-K+factor+solve kernel on √M·J tiles.
 
-    return k_tiles_from_jacobian(j, system.inertia)
-
-
-def _solve_tiles(k_tiles: jax.Array, b: jax.Array) -> jax.Array:
-    """Fused SPD solve on a tile-layout K with a member-major vector."""
+    The entire K contraction happens inside the kernel on the VPU in exact
+    f32 — measured 2.3× faster per formation than einsum-ing K at f32
+    matmul precision and relayouting it (scripts/perf_probe.py k_path vs
+    jac_solve), and immune to the TPU's bf16 dot default."""
     from hamilton_tpu.ops.pallas_solve import (
         from_vec_tiles,
-        spd_solve_tiles,
+        jac_tiles,
+        spd_solve_jac_tiles,
         to_vec_tiles,
     )
 
-    return from_vec_tiles(spd_solve_tiles(k_tiles, to_vec_tiles(b)))
+    m, n = j.shape[-2], j.shape[-1]
+    jt = jac_tiles(j, system.inertia)
+    return from_vec_tiles(spd_solve_jac_tiles(jt, to_vec_tiles(b), n, m))
 
 
 def _jacobian(system: System, q: jax.Array) -> jax.Array:
@@ -104,15 +106,15 @@ def mass_matrix(system: System, q: jax.Array) -> jax.Array:
     scaling, batched over any leading axes.
     """
     j = _jacobian(system, q)
-    return jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j)
+    return jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j, precision=jax.lax.Precision.HIGHEST)
 
 
 def momenta(system: System, config: Config) -> jax.Array:
     """Conjugate momenta ``p = JᵀMJ q̇`` (reference ``momenta``,
     ``Numeric/Hamilton.hs:262-269``), batch-aware."""
     j = _jacobian(system, config.q)
-    jv = jnp.einsum("...mn,...n->...m", j, config.v)
-    return jnp.einsum("...mn,...m->...n", j, system.inertia * jv)
+    jv = jnp.einsum("...mn,...n->...m", j, config.v, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...mn,...m->...n", j, system.inertia * jv, precision=jax.lax.Precision.HIGHEST)
 
 
 def velocities(system: System, phase: Phase) -> jax.Array:
@@ -122,7 +124,7 @@ def velocities(system: System, phase: Phase) -> jax.Array:
     solved there (no matrix relayout)."""
     if _tiles_ok(phase.q):
         j = _jacobian(system, phase.q)
-        return _solve_tiles(_k_tiles(system, j), phase.p)
+        return _jac_solve(system, j, phase.p)
     return spd_solve(mass_matrix(system, phase.q), phase.p)
 
 
@@ -194,11 +196,11 @@ def ham_eqs(system: System, phase: Phase) -> Tuple[jax.Array, jax.Array]:
     q, p = phase.q, phase.p
     j = _jacobian(system, q)  # (..., m, n)
     if _tiles_ok(q):
-        w = _solve_tiles(_k_tiles(system, j), p)
+        w = _jac_solve(system, j, p)
     else:
-        k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j)
+        k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j, precision=jax.lax.Precision.HIGHEST)
         w = spd_solve(k_mat, p)  # q̇ = K⁻¹p  (∂H/∂p, :386)
-    u = system.inertia * jnp.einsum("...mn,...n->...m", j, w)
+    u = system.inertia * jnp.einsum("...mn,...n->...m", j, w, precision=jax.lax.Precision.HIGHEST)
     dhdq = _dtdq(system, q, w, u) + _grad_u(system, q)  # (:387)
     return w, -dhdq
 
@@ -225,12 +227,12 @@ def q_factor(system: System, q: jax.Array) -> QFactor:
     """Factorize the q-dependent parts of :func:`ham_eqs` once."""
     j = _jacobian(system, q)
     if _tiles_ok(q):
-        from hamilton_tpu.ops.pallas_solve import cholesky_tiles
+        from hamilton_tpu.ops.pallas_solve import cholesky_jac_tiles, jac_tiles
 
-        return QFactor(
-            j, cholesky_tiles(_k_tiles(system, j)), _grad_u(system, q)
-        )
-    k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j)
+        m, n = j.shape[-2], j.shape[-1]
+        chol = cholesky_jac_tiles(jac_tiles(j, system.inertia), n, m)
+        return QFactor(j, chol, _grad_u(system, q))
+    k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j, precision=jax.lax.Precision.HIGHEST)
     return QFactor(j, small_cholesky(k_mat), _grad_u(system, q))
 
 
@@ -258,7 +260,7 @@ def dhdq_factored(
     """``∂H/∂q`` from a cached factor: only the w-dependent VJP sweep is
     recomputed."""
     w = _factor_solve(factor, p)
-    u = system.inertia * jnp.einsum("...mn,...n->...m", factor.jac, w)
+    u = system.inertia * jnp.einsum("...mn,...n->...m", factor.jac, w, precision=jax.lax.Precision.HIGHEST)
     return _dtdq(system, q, w, u) + factor.grad_u
 
 

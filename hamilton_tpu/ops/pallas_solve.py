@@ -41,6 +41,9 @@ __all__ = [
     "spd_solve_tiles",
     "cholesky_tiles",
     "cho_solve_tiles",
+    "jac_tiles",
+    "spd_solve_jac_tiles",
+    "cholesky_jac_tiles",
     "to_vec_tiles",
     "from_vec_tiles",
     "k_tiles_from_jacobian",
@@ -153,12 +156,12 @@ def _pad_batch(k_mat, vecs):
 
 def _block_specs(n_in, n_out, entries_in, entries_out):
     in_specs = [
-        pl.BlockSpec((1, e, 8, 128), lambda g, e=e: (g, 0, 0, 0),
+        pl.BlockSpec((1, e, 8, 128), lambda g, e=e: (g, g * 0, g * 0, g * 0),
                      memory_space=pltpu.VMEM)
         for e in entries_in
     ]
     out_specs = [
-        pl.BlockSpec((1, e, 8, 128), lambda g, e=e: (g, 0, 0, 0),
+        pl.BlockSpec((1, e, 8, 128), lambda g, e=e: (g, g * 0, g * 0, g * 0),
                      memory_space=pltpu.VMEM)
         for e in entries_out
     ]
@@ -211,22 +214,23 @@ class _RefView:
 # The member-major (B, n, n) entry points pay a strided relayout into the
 # (8, 128) register tiles on every call; profiling the leapfrog hot loop
 # (scripts/perf_trace.py, v5e, 16384×chain-20) showed 2.5 of 4.5 ms/step
-# going to exactly those reshape/copy passes.  The fix: matrices stay in
-# tile layout (G, E, 8, 128) *across* the step —
+# going to reshape/copy passes, and the XLA-side K = JᵀMJ contraction
+# lowering to a **bf16 convolution** (docs/design.md "Precision on TPU").
+# The hot-loop design that won:
 #
-#   * K is produced in tile layout straight out of the JᵀMJ contraction
-#     (:func:`k_tiles_from_jacobian` — the transpose fuses into the
-#     einsum's output instead of being a separate HBM pass);
+#   * K never exists as an XLA array: the fused :func:`spd_solve_jac_tiles`
+#     / :func:`cholesky_jac_tiles` kernels form K = (√M·J)ᵀ(√M·J) inside
+#     the kernel from :func:`jac_tiles` operands — f32-exact VPU FMAs,
+#     measured 2.3× faster per formation than the f32-precision einsum;
 #   * the Cholesky factor lives in tile layout inside the integrators'
 #     ``QFactor`` carry and is consumed by :func:`cho_solve_tiles`
 #     with no relayout at all;
-#   * only the small (B, n) vectors are re-tiled per call
-#     (:func:`to_vec_tiles` / :func:`from_vec_tiles` — n/n² of the matrix
-#     traffic, ~1.3 MB at the benchmark point).
+#   * only √M·J (one strided pass) and the small (B, n) vectors
+#     (:func:`to_vec_tiles` / :func:`from_vec_tiles`) are re-tiled per
+#     formation.
 #
-# The batch must be a TILE_B multiple (the ensemble hot path pads once at
-# entry if needed); the member-major entry points below remain for ad-hoc
-# batch sizes.
+# The batch must be a TILE_B multiple; the member-major entry points below
+# remain for ad-hoc batch sizes.
 # ---------------------------------------------------------------------------
 
 
@@ -274,8 +278,133 @@ def k_tiles_from_jacobian(j: jax.Array, inertia: jax.Array) -> jax.Array:
     batched dot (a tile-ordered einsum was tried and lowered to a
     convolution + copies, net slower); the single explicit relayout of the
     (B, n, n) result is the only transpose K pays per formation."""
-    k_mat = jnp.einsum("bmi,m,bmj->bij", j, inertia, j)
+    k_mat = jnp.einsum("bmi,m,bmj->bij", j, inertia, j, precision=jax.lax.Precision.HIGHEST)
     return _to_tiles(k_mat, 2)
+
+
+# -- fused J→K→factor[→solve] kernels ---------------------------------------
+#
+# One further fusion level: pass √M·J itself in tile layout and form
+# K = (√M·J)ᵀ(√M·J) inside the kernel (n(n+1)/2 · m vector FMAs on the VPU,
+# f32-exact).  This removes the XLA-side K contraction entirely — which the
+# TPU backend lowers to a bf16 convolution plus layout copies — so the only
+# data movement per formation is J's own relayout into tiles.
+
+
+def jac_tiles(j: jax.Array, inertia: jax.Array) -> jax.Array:
+    """``√M·J`` in tile layout: (B, m, n) member-major → (G, m·n, 8, 128).
+
+    The inertia is folded in as a row scaling so the kernels need no
+    separate inertia operand: ``K = JᵀMJ = (√M·J)ᵀ(√M·J)``."""
+    js = jnp.sqrt(inertia)[None, :, None].astype(j.dtype) * j
+    return _to_tiles(js, 2)
+
+
+def _k_at_from_jac(js_ref, n: int, m: int):
+    """Entry accessor computing K[i, j] tiles on demand from √M·J tiles."""
+
+    def k_at(i, j):
+        s = js_ref[0 * n + i] * js_ref[0 * n + j]
+        for mm in range(1, m):
+            s = s + js_ref[mm * n + i] * js_ref[mm * n + j]
+        return s
+
+    return k_at
+
+
+def _jac_solve_kernel(n: int, m: int, js_ref, b_ref, x_ref):
+    low, inv_diag = _chol_entries(_k_at_from_jac(js_ref, n, m), n)
+    xs = _solve_entries(low, inv_diag, lambda i: b_ref[i], n)
+    for i in range(n):
+        x_ref[i] = xs[i]
+
+
+def _jac_chol_kernel(n: int, m: int, js_ref, l_ref):
+    low, _ = _chol_entries(_k_at_from_jac(js_ref, n, m), n)
+    for i in range(n):
+        for j in range(n):
+            l_ref[i * n + j] = low[(i, j)] if j <= i else jnp.zeros_like(low[(0, 0)])
+
+
+def _kernel_wrap2(fn, n, m):
+    def kernel(*refs):
+        fn(n, m, *[_RefView(r) for r in refs])
+
+    return kernel
+
+
+def _jac_solve_impl(js_tiles, b_tiles, n, m):
+    return _run(
+        _kernel_wrap2(_jac_solve_kernel, n, m), [js_tiles, b_tiles],
+        [m * n, n], [n], js_tiles.dtype,
+    )
+
+
+def _jac_chol_impl(js_tiles, n, m):
+    return _run(
+        _kernel_wrap2(_jac_chol_kernel, n, m), [js_tiles],
+        [m * n], [n * n], js_tiles.dtype,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def spd_solve_jac_tiles(
+    js_tiles: jax.Array, b_tiles: jax.Array, n: int, m: int
+) -> jax.Array:
+    """Fused form-K + factor + solve from √M·J tiles: ``Js (G, m·n, 8, 128)``,
+    ``b (G, n, 8, 128)`` → ``x = (JsᵀJs)⁻¹ b`` tiles.  f32-exact (no MXU)."""
+    return _jac_solve_impl(js_tiles, b_tiles, n, m)
+
+
+def _jac_solve_fwd(js_tiles, b_tiles, n, m):
+    x = _jac_solve_impl(js_tiles, b_tiles, n, m)
+    return x, (js_tiles, x)
+
+
+def _jac_solve_bwd(n, m, res, g):
+    # x = K⁻¹b, K = JsᵀJs:  gb = K⁻¹g;  gK = −gb xᵀ;
+    # gJs = Js (gK + gKᵀ) = −Js (gb xᵀ + x gbᵀ)
+    js_tiles, x = res
+    gnum = js_tiles.shape[0]
+    gb = _jac_solve_impl(js_tiles, g, n, m)
+    js = js_tiles.reshape(gnum, m, n, 8, 128)
+    gsym = gb[:, :, None] * x[:, None, :] + x[:, :, None] * gb[:, None, :]
+    gjs = -jnp.einsum("gmkst,gkist->gmist", js, gsym,
+                      precision=jax.lax.Precision.HIGHEST)
+    return gjs.reshape(js_tiles.shape), gb
+
+
+spd_solve_jac_tiles.defvjp(_jac_solve_fwd, _jac_solve_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def cholesky_jac_tiles(js_tiles: jax.Array, n: int, m: int) -> jax.Array:
+    """Fused form-K + factor from √M·J tiles → lower factor in tile layout
+    (G, n², 8, 128), for the integrators' cached-factor carries."""
+    return _jac_chol_impl(js_tiles, n, m)
+
+
+def _jac_chol_fwd(js_tiles, n, m):
+    return _jac_chol_impl(js_tiles, n, m), js_tiles
+
+
+def _jac_chol_bwd(n, m, js_tiles, g_l):
+    # chain gK (via the masked-factorization pullback) to gJs = Js (gK + gKᵀ)
+    from hamilton_tpu.ops.linalg import _masked_cholesky
+
+    gnum = js_tiles.shape[0]
+    js = _from_tiles(js_tiles, (m, n))
+    k = jnp.einsum("bmi,bmj->bij", js, js,
+                   precision=jax.lax.Precision.HIGHEST)
+    _, vjp_fn = jax.vjp(_masked_cholesky, k)
+    (g_k,) = vjp_fn(_from_tiles(g_l, (n, n)))
+    g_js = jnp.einsum("bmk,bki->bmi", js,
+                      g_k + jnp.swapaxes(g_k, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
+    return (_to_tiles(g_js, 2),)
+
+
+cholesky_jac_tiles.defvjp(_jac_chol_fwd, _jac_chol_bwd)
 
 
 def _solve_tiles_impl(k_tiles, b_tiles, n):
@@ -374,7 +503,7 @@ def _cho_solve_tiles_bwd(res, g):
     gk = -gb[:, :, None] * x[:, None, :, :, :]  # (G, n, n, 8, 128)
     gsym = gk + jnp.swapaxes(gk, 1, 2)
     lt = l_tiles.reshape(gnum, n, n, 8, 128)
-    gl = jnp.einsum("gikst,gkjst->gijst", gsym, lt)
+    gl = jnp.einsum("gikst,gkjst->gijst", gsym, lt, precision=jax.lax.Precision.HIGHEST)
     tril = (jnp.arange(n)[:, None] >= jnp.arange(n)[None, :])[
         None, :, :, None, None
     ]
@@ -453,11 +582,11 @@ def _kernel_wrap_bt(fn, n):
 def _bt_run(kernel_fn, inputs, entries_out, dtype):
     g = inputs[0].shape[1]
     in_specs = [
-        pl.BlockSpec((x.shape[0], 1, 8, 128), lambda gg: (0, gg, 0, 0),
+        pl.BlockSpec((x.shape[0], 1, 8, 128), lambda gg: (gg * 0, gg, gg * 0, gg * 0),
                      memory_space=pltpu.VMEM)
         for x in inputs
     ]
-    out_spec = pl.BlockSpec((entries_out, 1, 8, 128), lambda gg: (0, gg, 0, 0),
+    out_spec = pl.BlockSpec((entries_out, 1, 8, 128), lambda gg: (gg * 0, gg, gg * 0, gg * 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel_fn,
@@ -560,7 +689,7 @@ def _cho_solve_bt_bwd(res, g):
     gb = _cho_solve_bt_impl(l_t, g)
     gk = -gb[:, None, :] * x[None, :, :]  # (n, n, B)
     gsym = gk + jnp.swapaxes(gk, 0, 1)
-    gl = jnp.einsum("ikb,kjb->ijb", gsym, l_t)
+    gl = jnp.einsum("ikb,kjb->ijb", gsym, l_t, precision=jax.lax.Precision.HIGHEST)
     tril = (jnp.arange(n)[:, None] >= jnp.arange(n)[None, :])[..., None]
     return jnp.where(tril, gl, 0.0), gb
 

@@ -51,17 +51,20 @@ def main():
     st = make_stepper(system, "leapfrog", iters=args.iters)
 
     def build(precision):
-        with jax.default_matmul_precision(precision):
-            @jax.jit
-            def run_speed(qq, pp):
+        # the precision context must be active while the function BODY is
+        # traced, so it lives inside the jitted functions
+        @jax.jit
+        def run_speed(qq, pp):
+            with jax.default_matmul_precision(precision):
                 c0 = st.init(Phase(qq, pp))
                 c = jax.lax.fori_loop(
                     0, args.inner, lambda i, c: st.step(c, jnp.float32(1e-3)), c0
                 )
                 return st.extract(c).q
 
-            @jax.jit
-            def run_drift(qq, pp):
+        @jax.jit
+        def run_drift(qq, pp):
+            with jax.default_matmul_precision(precision):
                 _, drift = evolve_ensemble_final(
                     system, Phase(qq, pp), 1e-3, args.steps,
                     method="leapfrog", iters=args.iters, compensated=True,
@@ -69,12 +72,12 @@ def main():
                 )
                 return jnp.max(drift)
 
-            jax.block_until_ready(run_speed(q, p))
-            jax.block_until_ready(run_speed(q, p))  # warm
+        jax.block_until_ready(run_speed(q, p))
+        jax.block_until_ready(run_speed(q, p))  # warm
         return run_speed, run_drift
 
     runs = {prec: build(prec) for prec in
-            ("bfloat16", "bfloat16_3x", "float32")}
+            ("bfloat16", "BF16_BF16_F32_X3", "float32")}
     out = {"steps": args.steps, "batch": args.batch, "iters": args.iters}
     for _ in range(2):
         for prec, (run_speed, _) in runs.items():
@@ -89,6 +92,21 @@ def main():
         out[f"{prec}_drift_{args.steps}"] = d
         out[f"{prec}_drift_wall_s"] = round(time.perf_counter() - t0, 1)
         print(json.dumps({prec: d}), flush=True)
+    # CPU reference: same f32-compensated integration, full-f32 matmuls
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        qc, pc = q[:64], p[:64]
+
+        @jax.jit
+        def run_drift_cpu(qq, pp):
+            _, drift = evolve_ensemble_final(
+                system, Phase(qq, pp), 1e-3, args.steps,
+                method="leapfrog", iters=args.iters, compensated=True,
+                drift_every=1000, drift_dtype=jnp.float64,
+            )
+            return jnp.max(drift)
+
+        out["cpu_f32_drift"] = float(run_drift_cpu(qc, pc))
     print(json.dumps(out))
 
 

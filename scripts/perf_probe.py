@@ -103,7 +103,8 @@ def main():
             return jax.lax.fori_loop(0, inner, body, x0)
         return run
 
-    want = lambda name: args.probe in ("all", name)
+    wanted = set(args.probe.split(","))
+    want = lambda name: "all" in wanted or name in wanted
 
     if want("step_leapfrog"):
         st = make_stepper(system, "leapfrog", iters=3)
@@ -171,6 +172,49 @@ def main():
                 return w + 1e-30 * d
             return jax.lax.fori_loop(0, inner, body, w0)
         timed("jac_u_vjp_sweep", vjp_dep, vec, inner=inner)
+
+    if want("k_path"):
+        # current hot path: J (fixed point dependence) → K einsum → K tiles
+        # → fused solve kernel
+        from hamilton_tpu.ops.pallas_solve import (
+            from_vec_tiles,
+            k_tiles_from_jacobian,
+            spd_solve_tiles,
+            to_vec_tiles,
+        )
+
+        j0 = jax.jit(lambda q: jax.vmap(system.jacobian)(q))(ph.q)
+        j0 = jax.block_until_ready(j0)
+
+        def k_path(x0):
+            def body(i, x):
+                j_dep = j0 + 1e-30 * x[:, None, :]
+                kt = k_tiles_from_jacobian(j_dep, system.inertia)
+                return from_vec_tiles(spd_solve_tiles(kt, to_vec_tiles(x)))
+            return jax.lax.fori_loop(0, inner, body, x0)
+        timed("k_einsum_tiles_solve", k_path, vec, inner=inner)
+
+    if want("jac_solve"):
+        # candidate: J → √M·J tiles → fused form-K+factor+solve kernel
+        from hamilton_tpu.ops.pallas_solve import (
+            from_vec_tiles,
+            jac_tiles,
+            spd_solve_jac_tiles,
+            to_vec_tiles,
+        )
+
+        j0 = jax.jit(lambda q: jax.vmap(system.jacobian)(q))(ph.q)
+        j0 = jax.block_until_ready(j0)
+        m = j0.shape[1]
+
+        def jac_path(x0):
+            def body(i, x):
+                j_dep = j0 + 1e-30 * x[:, None, :]
+                jt = jac_tiles(j_dep, system.inertia)
+                xt = spd_solve_jac_tiles(jt, to_vec_tiles(x), n, m)
+                return from_vec_tiles(xt)
+            return jax.lax.fori_loop(0, inner, body, x0)
+        timed("jac_tiles_fused_solve", jac_path, vec, inner=inner)
 
     if want("q_factor"):
         def qf_dep(q0):

@@ -94,6 +94,39 @@ def _jacobian(system: System, q: jax.Array) -> jax.Array:
     return _vmap_leading(system.jacobian, q.ndim - 1)(q)
 
 
+# Contractions as explicit multiply+reduce: exact f32 on the VPU, never
+# lowered to the MXU (whose f32 "HIGHEST" mode costs multiple bf16 passes
+# and whose default silently rounds operands to bf16 — docs/design.md
+# "Precision on TPU").  Mat-vecs are always cheaper this way (the
+# intermediate is J-sized); the K formation only below a size gate (the
+# (..., m, n, n) intermediate must stay small — big n takes the fused
+# Pallas kernel on TPU or the HIGHEST einsum elsewhere).
+
+_K_MULSUM_LIMIT = 512  # max m·n² for the elementwise K formation
+
+
+def _mv(a: jax.Array, v: jax.Array) -> jax.Array:
+    """``A @ v`` for A (..., m, n), v (..., n) — exact elementwise form."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
+def _tmv(a: jax.Array, u: jax.Array) -> jax.Array:
+    """``Aᵀ @ u`` for A (..., m, n), u (..., m) — exact elementwise form."""
+    return jnp.sum(a * u[..., :, None], axis=-2)
+
+
+def _form_k(j: jax.Array, inertia: jax.Array) -> jax.Array:
+    """``K = JᵀMJ`` (..., n, n) from J (..., m, n)."""
+    m, n = j.shape[-2], j.shape[-1]
+    if m * n * n <= _K_MULSUM_LIMIT:
+        jm = j * inertia[..., :, None]
+        return jnp.sum(jm[..., :, :, None] * j[..., :, None, :], axis=-3)
+    return jnp.einsum(
+        "...mi,m,...mj->...ij", j, inertia, j,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _grad_u(system: System, q: jax.Array) -> jax.Array:
     return _vmap_leading(system.potential_grad, q.ndim - 1)(q)
 
@@ -106,15 +139,14 @@ def mass_matrix(system: System, q: jax.Array) -> jax.Array:
     scaling, batched over any leading axes.
     """
     j = _jacobian(system, q)
-    return jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j, precision=jax.lax.Precision.HIGHEST)
+    return _form_k(j, system.inertia)
 
 
 def momenta(system: System, config: Config) -> jax.Array:
     """Conjugate momenta ``p = JᵀMJ q̇`` (reference ``momenta``,
     ``Numeric/Hamilton.hs:262-269``), batch-aware."""
     j = _jacobian(system, config.q)
-    jv = jnp.einsum("...mn,...n->...m", j, config.v, precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("...mn,...m->...n", j, system.inertia * jv, precision=jax.lax.Precision.HIGHEST)
+    return _tmv(j, system.inertia * _mv(j, config.v))
 
 
 def velocities(system: System, phase: Phase) -> jax.Array:
@@ -198,9 +230,9 @@ def ham_eqs(system: System, phase: Phase) -> Tuple[jax.Array, jax.Array]:
     if _tiles_ok(q):
         w = _jac_solve(system, j, p)
     else:
-        k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j, precision=jax.lax.Precision.HIGHEST)
+        k_mat = _form_k(j, system.inertia)
         w = spd_solve(k_mat, p)  # q̇ = K⁻¹p  (∂H/∂p, :386)
-    u = system.inertia * jnp.einsum("...mn,...n->...m", j, w, precision=jax.lax.Precision.HIGHEST)
+    u = system.inertia * _mv(j, w)
     dhdq = _dtdq(system, q, w, u) + _grad_u(system, q)  # (:387)
     return w, -dhdq
 
@@ -232,7 +264,7 @@ def q_factor(system: System, q: jax.Array) -> QFactor:
         m, n = j.shape[-2], j.shape[-1]
         chol = cholesky_jac_tiles(jac_tiles(j, system.inertia), n, m)
         return QFactor(j, chol, _grad_u(system, q))
-    k_mat = jnp.einsum("...mi,m,...mj->...ij", j, system.inertia, j, precision=jax.lax.Precision.HIGHEST)
+    k_mat = _form_k(j, system.inertia)
     return QFactor(j, small_cholesky(k_mat), _grad_u(system, q))
 
 
@@ -260,7 +292,7 @@ def dhdq_factored(
     """``∂H/∂q`` from a cached factor: only the w-dependent VJP sweep is
     recomputed."""
     w = _factor_solve(factor, p)
-    u = system.inertia * jnp.einsum("...mn,...n->...m", factor.jac, w, precision=jax.lax.Precision.HIGHEST)
+    u = system.inertia * _mv(factor.jac, w)
     return _dtdq(system, q, w, u) + factor.grad_u
 
 

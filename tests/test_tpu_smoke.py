@@ -1,0 +1,88 @@
+"""Opt-in real-hardware smoke tests.
+
+Run with ``HAMILTON_TEST_TPU=1 python -m pytest tests/test_tpu_smoke.py`` on
+a machine with a real accelerator: conftest then skips its CPU forcing, and
+these exercise one Pallas solve and one short ensemble dispatch on the
+actual device (the CPU suite runs the kernels only under the interpreter —
+and cannot see accelerator-side precision traps, docs/design.md "Precision
+on TPU").
+
+Serialize with any other TPU user of this environment (parallel processes
+can fault the relay), and expect ~1-5 min of remote-compile latency.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("HAMILTON_TEST_TPU"),
+    reason="real-TPU smoke tests are opt-in (HAMILTON_TEST_TPU=1)",
+)
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        pytest.skip("no accelerator available")
+    return dev
+
+
+def test_pallas_solve_on_device(tpu, rng):
+    from hamilton_tpu.ops import pallas_solve as ps
+
+    b, n = 2048, 6
+    a = rng.normal(size=(b, n, n)).astype(np.float32)
+    k = jnp.asarray(np.einsum("bij,bkj->bik", a, a) + n * np.eye(n, dtype=np.float32))
+    vec = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+    x = jax.jit(ps.spd_solve_pallas)(k, vec)
+    resid = np.einsum("bij,bj->bi", np.asarray(k), np.asarray(x)) - np.asarray(vec)
+    assert np.max(np.abs(resid)) < 1e-3  # f32 at condition ~n
+
+
+def test_fused_jac_kernel_on_device(tpu, rng):
+    from hamilton_tpu.ops import pallas_solve as ps
+
+    b, m, n = 1024, 8, 4
+    j = rng.normal(size=(b, m, n)).astype(np.float32)
+    inertia = np.ones(m, dtype=np.float32)
+    vec = rng.normal(size=(b, n)).astype(np.float32)
+    jt = ps.jac_tiles(jnp.asarray(j), jnp.asarray(inertia))
+    x = ps.from_vec_tiles(
+        jax.jit(lambda jt, bt: ps.spd_solve_jac_tiles(jt, bt, n, m))(
+            jt, ps.to_vec_tiles(jnp.asarray(vec))
+        )
+    )
+    k = np.einsum("bmi,bmj->bij", j, j)
+    expect = np.linalg.solve(k.astype(np.float64), vec.astype(np.float64)[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), expect, rtol=2e-2, atol=2e-2)
+
+
+def test_ensemble_dispatch_on_device(tpu):
+    """100-step chain ensemble on the real chip: finite, energy-sane, and
+    running through the tile-resident kernel path (batch is a TILE_B
+    multiple)."""
+    from hamilton_tpu.ensemble import evolve_ensemble_final
+    from hamilton_tpu.models import chain
+    from hamilton_tpu.state import Phase
+
+    ex = chain(n_links=8)
+    system = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), ex.system)
+    b = 2048
+    ph = Phase(
+        jnp.tile(ex.init_phase.q.astype(jnp.float32), (b, 1)),
+        jnp.tile(ex.init_phase.p.astype(jnp.float32), (b, 1)),
+    )
+    final, drift = jax.jit(
+        lambda ph: evolve_ensemble_final(
+            system, ph, 1e-3, 100, method="leapfrog", iters=3, drift_every=50
+        )
+    )(ph)
+    assert bool(jnp.all(jnp.isfinite(final.q)))
+    # f32-exact kernels on device: drift at 100 steps is tiny
+    assert float(jnp.max(drift)) < 1e-5

@@ -200,22 +200,27 @@ def hamiltonian(system: System, phase: Phase) -> jax.Array:
     return ke_p(system, phase) + pe(system, phase.q)
 
 
-def _dtdq(system: System, q: jax.Array, w: jax.Array, u: jax.Array) -> jax.Array:
-    """``∂T/∂q_k = −uᵀ (∂J/∂q_k) w`` as a VJP of ``q ↦ J(q)·w``.
+def _dtdq(system: System, q: jax.Array, w: jax.Array) -> jax.Array:
+    """``∂T/∂q_k = −uᵀ (∂J/∂q_k) w`` with ``u = M·J·w``, as a VJP of
+    ``q ↦ J(q)·w``.
 
     The reference materializes the rank-3 ``∂J/∂q`` and loops its slices
     (``Numeric/Hamilton.hs:382-385``); this computes the same contraction in
     one reverse-over-forward AD sweep — O(cost(f)) work, O(m+n) memory.
+    ``J·w`` itself falls out as the *primal* output of the linearization, so
+    the cotangent ``u`` costs no extra pass — and, on the ensemble hot path,
+    no re-read of a (B, m, n) Jacobian from HBM (the step is
+    bandwidth-bound; docs/design.md "Round-2 additions").
     """
 
-    def one(qi, wi, ui):
+    def one(qi, wi):
         def jw(qq):
             return jax.jvp(system.coords, (qq,), (wi,))[1]
 
-        _, vjp_fn = jax.vjp(jw, qi)
-        return -vjp_fn(ui)[0]
+        jw_val, vjp_fn = jax.vjp(jw, qi)
+        return -vjp_fn(system.inertia * jw_val)[0]
 
-    return _vmap_leading(one, q.ndim - 1)(q, w, u)
+    return _vmap_leading(one, q.ndim - 1)(q, w)
 
 
 def ham_eqs(system: System, phase: Phase) -> Tuple[jax.Array, jax.Array]:
@@ -232,8 +237,7 @@ def ham_eqs(system: System, phase: Phase) -> Tuple[jax.Array, jax.Array]:
     else:
         k_mat = _form_k(j, system.inertia)
         w = spd_solve(k_mat, p)  # q̇ = K⁻¹p  (∂H/∂p, :386)
-    u = system.inertia * _mv(j, w)
-    dhdq = _dtdq(system, q, w, u) + _grad_u(system, q)  # (:387)
+    dhdq = _dtdq(system, q, w) + _grad_u(system, q)  # (:387)
     return w, -dhdq
 
 
@@ -242,15 +246,17 @@ class QFactor(NamedTuple):
     computation that holds ``q`` fixed (the semi-implicit integrators' inner
     fixed-point loops, and across consecutive leapfrog steps).
 
-    All fields are arrays (with leading batch axes matching ``q``), so a
+    Both fields are arrays (with leading batch axes matching ``q``), so a
     ``QFactor`` is carryable through ``scan``/``fori_loop``.  On the ensemble
     hot path ``chol`` is held in Pallas register-tile layout
     ``(G, n², 8, 128)`` — produced and consumed with zero matrix relayout —
     and in dense ``(..., n, n)`` layout everywhere else; the consumers
-    dispatch on the array rank.
+    dispatch on the array rank.  The Jacobian itself is deliberately NOT
+    carried: its only factored-path consumer, ``u = M·J·w``, falls out of the
+    :func:`_dtdq` linearization, and carrying the (B, m, n) array through the
+    evolution loop costs more HBM traffic than everything else combined.
     """
 
-    jac: jax.Array  # J(q), (..., m, n)
     chol: jax.Array  # lower Cholesky factor of K(q): (..., n, n) or tiles
     grad_u: jax.Array  # ∇U(q), (..., n)
 
@@ -263,9 +269,9 @@ def q_factor(system: System, q: jax.Array) -> QFactor:
 
         m, n = j.shape[-2], j.shape[-1]
         chol = cholesky_jac_tiles(jac_tiles(j, system.inertia), n, m)
-        return QFactor(j, chol, _grad_u(system, q))
+        return QFactor(chol, _grad_u(system, q))
     k_mat = _form_k(j, system.inertia)
-    return QFactor(j, small_cholesky(k_mat), _grad_u(system, q))
+    return QFactor(small_cholesky(k_mat), _grad_u(system, q))
 
 
 def _factor_solve(factor: QFactor, p: jax.Array) -> jax.Array:
@@ -290,10 +296,9 @@ def dhdq_factored(
     system: System, factor: QFactor, q: jax.Array, p: jax.Array
 ) -> jax.Array:
     """``∂H/∂q`` from a cached factor: only the w-dependent VJP sweep is
-    recomputed."""
+    recomputed (``J·w`` comes out of the sweep's own linearization)."""
     w = _factor_solve(factor, p)
-    u = system.inertia * _mv(factor.jac, w)
-    return _dtdq(system, q, w, u) + factor.grad_u
+    return _dtdq(system, q, w) + factor.grad_u
 
 
 def ham_rhs(system: System):

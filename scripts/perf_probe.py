@@ -165,10 +165,7 @@ def main():
     if want("vjp_sweep"):
         def vjp_dep(w0):
             def body(i, w):
-                u = system.inertia * jnp.einsum(
-                    "...mn,...n->...m",
-                    jax.vmap(system.jacobian)(ph.q), w)
-                d = _dtdq(system, ph.q, w, u)
+                d = _dtdq(system, ph.q, w)
                 return w + 1e-30 * d
             return jax.lax.fori_loop(0, inner, body, w0)
         timed("jac_u_vjp_sweep", vjp_dep, vec, inner=inner)

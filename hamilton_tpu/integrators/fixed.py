@@ -234,25 +234,36 @@ def _leapfrog_stepper(
         batch-aware and Pallas-routed."""
         return _velocities(system, Phase(q, p))
 
-    def increments(ph: Phase, fac0, dt):
+    def increments(ph: Phase, fac0, warm, dt):
         """One generalized-Verlet step in increment form: returns
-        ``(Δq, Δp, fac1)`` with the deltas computed as pure O(dt) sums (the
-        compensated path's accumulation quantities)."""
+        ``(Δq, Δp, fac1, warm')`` with the deltas computed as pure O(dt)
+        sums (the compensated path's accumulation quantities).
+
+        ``warm = (a_est, vdot_est)`` warm-starts the two fixed-point loops
+        from the previous step's converged force/velocity-derivative
+        estimates (both smooth physical quantities, so the dt-scaling stays
+        correct across composition substeps with different — even negative —
+        dt, as in yoshida4).  Zeros reduce exactly to the cold start; the
+        fixed *point* is unchanged either way, only the residual after the
+        static ``iters`` shrinks (~one extra contraction factor), which is
+        what lets the ensemble hot loop run iters=2 at cold-iters=3 accuracy
+        (measured: docs/design.md "Round-2 additions")."""
         # Fixed-point iterations are UNROLLED (see the gauss stepper note:
         # nested while-loops inside the evolution's outer loop de-optimize
         # ~11× on TPU; each unrolled body is just a solve + a VJP sweep).
         q0, p0 = ph.q, ph.p
+        a_est, vdot_est = warm
         half = dt / 2
         # p½ = p0 − h/2 · A,  A = H_q(q0, p½)   (implicit; cached factor)
-        a_last = dhdq_factored(system, fac0, q0, p0)
-        ph_half = p0 - half * a_last
-        for _ in range(iters - 1):
+        ph_half = p0 - half * a_est
+        a_last = a_est
+        for _ in range(iters):
             a_last = dhdq_factored(system, fac0, q0, ph_half)
             ph_half = p0 - half * a_last
         # q1 = q0 + h/2 · (v0 + v1),  v = H_p   (implicit in q1)
         v0 = dhdp_factored(fac0, ph_half)
         v_last = v0
-        q1 = q0 + dt * v0
+        q1 = q0 + dt * v0 + (dt * half) * vdot_est
         for _ in range(iters):
             v_last = hp_fresh(q1, ph_half)
             q1 = q0 + half * (v0 + v_last)
@@ -261,29 +272,33 @@ def _leapfrog_stepper(
         fac1 = q_factor(system, q1)
         b_term = dhdq_factored(system, fac1, q1, ph_half)
         dp_inc = -half * (a_last + b_term)
-        return dq_inc, dp_inc, fac1
+        warm1 = (b_term, (v_last - v0) / dt)
+        return dq_inc, dp_inc, fac1, warm1
+
+    def warm0(ph: Phase):
+        return (jnp.zeros_like(ph.p), jnp.zeros_like(ph.q))
 
     def init(ph: Phase):
-        return (ph, q_factor(system, ph.q))
+        return (ph, q_factor(system, ph.q), warm0(ph))
 
     def step(carry, dt):
-        ph, fac0 = carry
-        dq_inc, dp_inc, fac1 = increments(ph, fac0, dt)
-        return (Phase(ph.q + dq_inc, ph.p + dp_inc), fac1)
+        ph, fac0, warm = carry
+        dq_inc, dp_inc, fac1, warm1 = increments(ph, fac0, warm, dt)
+        return (Phase(ph.q + dq_inc, ph.p + dp_inc), fac1, warm1)
 
     if not compensated:
         return Stepper(init, step, lambda c: c[0], order=2, symplectic=True)
 
     def comp_init(ph: Phase):
-        return (ph, q_factor(system, ph.q),
+        return (ph, q_factor(system, ph.q), warm0(ph),
                 Phase(jnp.zeros_like(ph.q), jnp.zeros_like(ph.p)))
 
     def comp_step(carry, dt):
-        ph, fac0, c = carry
-        dq_inc, dp_inc, fac1 = increments(ph, fac0, dt)
+        ph, fac0, warm, c = carry
+        dq_inc, dp_inc, fac1, warm1 = increments(ph, fac0, warm, dt)
         q1, cq = _kahan_add(ph.q, c.q, dq_inc)
         p1, cp = _kahan_add(ph.p, c.p, dp_inc)
-        return (Phase(q1, p1), fac1, Phase(cq, cp))
+        return (Phase(q1, p1), fac1, warm1, Phase(cq, cp))
 
     return Stepper(comp_init, comp_step, lambda c: c[0], order=2, symplectic=True)
 

@@ -302,10 +302,15 @@ def main(argv=None):
     ap.add_argument("--drift-batch", type=int, default=1024)
     ap.add_argument("--dp-drift-steps", type=int, default=100_000)
     ap.add_argument("--method", default="leapfrog")
-    # iters=2 with the warm-started fixed point matches cold iters=3's
-    # converged drift (2.03e-7 vs 2.01e-7 f64 chain-20 @5k steps) at ~2/3
-    # the factor-solve cost — docs/design.md "Round-2 additions".
-    ap.add_argument("--iters", type=int, default=2)
+
+    def iters_arg(s):
+        return tuple(int(x) for x in s.split(",")) if "," in s else int(s)
+
+    # "2,1" = warm-started split counts (iters_p=2, iters_q=1): matches the
+    # converged drift (1.98e-7 vs 2.01e-7, f64 chain-20 @5k steps) while
+    # paying only 2 Jacobian materializations per step — docs/design.md
+    # "Round-2 hot-loop reductions".
+    ap.add_argument("--iters", type=iters_arg, default=(2, 1))
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
     ap.add_argument("--skip-drift", action="store_true")

@@ -210,7 +210,7 @@ def _gauss_stepper(
 
 
 def _leapfrog_stepper(
-    system: System, iters: int, compensated: bool = False
+    system: System, iters, compensated: bool = False
 ) -> Stepper:
     """Generalized Störmer-Verlet with **factor caching**: the p½ fixed-point
     loop holds q = q₀, so J/Cholesky(K)/∇U are factorized once (`QFactor`)
@@ -227,6 +227,13 @@ def _leapfrog_stepper(
     )
 
     from hamilton_tpu.mechanics import velocities as _velocities
+
+    # iters: int applies to both fixed-point loops; an (iters_p, iters_q)
+    # pair splits them.  The p½-loop's iterations are cheap (a cached-factor
+    # substitution + a VJP sweep — no Jacobian materialization) while each
+    # q-loop iteration pays a fresh form-K+factor+solve, so the ensemble hot
+    # loop benefits from spending iterations asymmetrically.
+    iters_p, iters_q = iters if isinstance(iters, tuple) else (iters, iters)
 
     def hp_fresh(q, p):
         """q̇ at a fresh q (inside the q-loop; needs its own factorization
@@ -257,14 +264,14 @@ def _leapfrog_stepper(
         # p½ = p0 − h/2 · A,  A = H_q(q0, p½)   (implicit; cached factor)
         ph_half = p0 - half * a_est
         a_last = a_est
-        for _ in range(iters):
+        for _ in range(iters_p):
             a_last = dhdq_factored(system, fac0, q0, ph_half)
             ph_half = p0 - half * a_last
         # q1 = q0 + h/2 · (v0 + v1),  v = H_p   (implicit in q1)
         v0 = dhdp_factored(fac0, ph_half)
         v_last = v0
         q1 = q0 + dt * v0 + (dt * half) * vdot_est
-        for _ in range(iters):
+        for _ in range(iters_q):
             v_last = hp_fresh(q1, ph_half)
             q1 = q0 + half * (v0 + v_last)
         dq_inc = half * (v0 + v_last)
@@ -426,7 +433,7 @@ def make_stepper(
     system: System,
     method: str = "gauss4",
     *,
-    iters: int = 6,
+    iters=6,
     omega: float = 20.0,
     compensated: bool = False,
 ) -> Stepper:
@@ -436,6 +443,9 @@ def make_stepper(
       method: one of :data:`FIXED_METHODS`.
       iters: fixed-point iteration count for the implicit members (static —
         compiled into the trace; ~5-8 suffices for typical ``|dt·∂²H| ≪ 1``).
+        For ``leapfrog``/``yoshida4`` an ``(iters_p, iters_q)`` pair splits
+        the momentum- and position-loop counts (the q-loop is the expensive
+        one: each iteration re-factorizes the mass matrix).
       omega: binding frequency for Tao's method (larger tracks the physical
         trajectory more tightly but demands smaller ``dt``; ω·dt ≲ 1).
       compensated: Kahan-accumulate step increments (leapfrog/gauss family
@@ -443,6 +453,11 @@ def make_stepper(
         level instead of an O(√N·eps) random walk; the low-precision path to
         the <1e-6 drift target on hardware without fast f64.
     """
+    if isinstance(iters, tuple) and method not in ("leapfrog", "yoshida4"):
+        raise ValueError(
+            f"split (iters_p, iters_q) counts apply to leapfrog/yoshida4, "
+            f"not {method!r}"
+        )
     if method == "rk4":
         stepper = _explicit_rk_stepper(system, RK4)
     elif method == "leapfrog":

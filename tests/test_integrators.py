@@ -230,6 +230,29 @@ class TestStepperRegistry:
         with pytest.raises(ValueError):
             make_stepper(PEND.system, "nope")
 
+    def test_split_iteration_counts(self):
+        """(iters_p, iters_q) splits the leapfrog loops; the warm-started
+        split counts must land within the converged step's accuracy (the
+        ensemble hot-loop configuration — docs/design.md)."""
+        from hamilton_tpu.integrators.evolve import evolve_ham_fixed
+
+        ph0 = DP.init_phase
+
+        def run(iters, n=200):
+            out = evolve_ham_fixed(
+                DP.system, ph0, 1e-3, n, method="leapfrog", iters=iters,
+                emit_every=n,
+            )
+            return out.q[-1]
+
+        ref = run((8, 8))
+        out = run((2, 1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=1e-9)
+        # split counts are a leapfrog/yoshida4-only concept
+        with pytest.raises(ValueError):
+            make_stepper(DP.system, "gauss4", iters=(2, 1))
+
 
 class TestBatchedAdaptive:
     def test_batched_evolve_shared_step(self):

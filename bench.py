@@ -306,11 +306,12 @@ def main(argv=None):
     def iters_arg(s):
         return tuple(int(x) for x in s.split(",")) if "," in s else int(s)
 
-    # "2,1" = warm-started split counts (iters_p=2, iters_q=1): matches the
-    # converged drift (1.98e-7 vs 2.01e-7, f64 chain-20 @5k steps) while
-    # paying only 2 Jacobian materializations per step — docs/design.md
-    # "Round-2 hot-loop reductions".
-    ap.add_argument("--iters", type=iters_arg, default=(2, 1))
+    # "2,0" = warm-started Gauss-Seidel counts (iters_p=2, factor once at
+    # the O(dt³) predictor): matches the converged drift (1.93e-7 @5k /
+    # 2.74e-7 @20k vs exact-mode 2.86e-7, f64 chain-20) while paying ONE
+    # Jacobian materialization per step — docs/design.md "Round-2 hot-loop
+    # reductions".
+    ap.add_argument("--iters", type=iters_arg, default=(2, 0))
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
     ap.add_argument("--skip-drift", action="store_true")

@@ -274,9 +274,23 @@ def _leapfrog_stepper(
         for _ in range(iters_q):
             v_last = hp_fresh(q1, ph_half)
             q1 = q0 + half * (v0 + v_last)
+        if iters_q == 0:
+            # Gauss-Seidel mode: factorize ONCE at the warm predictor (whose
+            # error is already O(dt³)), solve v there, and take the q-update
+            # from that factor — one Jacobian materialization per step.  The
+            # end-of-step factor is then stale by the final O(dt³·λ) update;
+            # all consumers (b_term here, the next step's p-loop) see a
+            # consistently-stale factor, which perturbs the map at an order
+            # below the method's own O(dt³) local error (drift measured
+            # converged — docs/design.md "Round-2 hot-loop reductions").
+            fac1 = q_factor(system, q1)
+            v_last = dhdp_factored(fac1, ph_half)
+            q1 = q0 + half * (v0 + v_last)
+        else:
+            # exact mode: factor at the converged q1
+            fac1 = q_factor(system, q1)
         dq_inc = half * (v0 + v_last)
         # p1 = p½ − h/2 · B,  B = H_q(q1, p½); q1 factor carries to next step
-        fac1 = q_factor(system, q1)
         b_term = dhdq_factored(system, fac1, q1, ph_half)
         dp_inc = -half * (a_last + b_term)
         warm1 = (b_term, (v_last - v0) / dt)

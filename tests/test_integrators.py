@@ -249,6 +249,11 @@ class TestStepperRegistry:
         out = run((2, 1))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=0, atol=1e-9)
+        # Gauss-Seidel mode (factor once at the warm predictor) must stay
+        # within the same envelope
+        out0 = run((2, 0))
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(ref),
+                                   rtol=0, atol=1e-8)
         # split counts are a leapfrog/yoshida4-only concept
         with pytest.raises(ValueError):
             make_stepper(DP.system, "gauss4", iters=(2, 1))

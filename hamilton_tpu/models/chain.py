@@ -57,11 +57,24 @@ def chain(
         y = jnp.cumsum(link_length * (1.0 - jnp.cos(q)))
         return jnp.concatenate([x, y])  # (x1..xN, y1..yN)
 
+    # Closed-form Jacobian of the cumsum map: ∂x_i/∂θ_j = l·cosθ_j·[j ≤ i],
+    # ∂y_i/∂θ_j = l·sinθ_j·[j ≤ i] — a lower-triangular mask times one
+    # cos/sin row each.  Equals jacfwd(coords) (unit-tested); materializing
+    # it via AD costs n tangent passes of coords and was measured as 2/3 of
+    # the whole ensemble step (docs/design.md "Round-2 hot-loop reductions").
+    tril = jnp.tril(jnp.ones((n_links, n_links), dtype=bool))
+
+    def jacobian_fn(q):
+        jx = jnp.where(tril, link_length * jnp.cos(q)[None, :], 0.0)
+        jy = jnp.where(tril, link_length * jnp.sin(q)[None, :], 0.0)
+        return jnp.concatenate([jx, jy], axis=0)  # (2N, N)
+
     def potential_cart(xs):
         return gravity * jnp.sum(masses * xs[n_links:])
 
     system = mk_system_cart(
-        inertia, coords, potential_cart, n=n_links, name=f"chain{n_links}"
+        inertia, coords, potential_cart, n=n_links, name=f"chain{n_links}",
+        jacobian_fn=jacobian_fn,
     )
 
     def draw(xs):

@@ -56,6 +56,7 @@ class System:
         potential: Callable[[jax.Array], jax.Array],
         n: Optional[int] = None,
         name: str = "system",
+        jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     ):
         self.inertia = jnp.asarray(inertia)
         if self.inertia.ndim != 1:
@@ -67,6 +68,7 @@ class System:
         self.potential = potential
         self._n = n
         self.name = name
+        self.jacobian_fn = jacobian_fn
 
     # -- dimensions -----------------------------------------------------
     @property
@@ -86,7 +88,17 @@ class System:
         Reference ``_sysJacobian = tr . vec2l . jacobianT f``
         (``Numeric/Hamilton.hs:221``), via forward-mode AD — forward mode is
         the right choice for ``n <= m`` tall Jacobians.
+
+        When the constructor was given an analytic ``jacobian_fn`` it is used
+        instead: materializing J via ``jacfwd`` costs ``n`` tangent passes of
+        ``coords`` (measured as 2/3 of the entire ensemble step for the
+        20-link chain — docs/design.md "Round-2 hot-loop reductions"), while
+        a hand-derived form is typically a few elementwise ops.  Correctness
+        of the override against the AD Jacobian is the user's contract (and
+        unit-tested for the bundled models).
         """
+        if self.jacobian_fn is not None:
+            return self.jacobian_fn(q)
         return jax.jacfwd(self.coords)(q)
 
     def hessian(self, q: jax.Array) -> jax.Array:
@@ -115,11 +127,13 @@ class System:
 
     # -- pytree protocol ------------------------------------------------
     def tree_flatten(self):
-        return (self.inertia,), (self.coords, self.potential, self._n, self.name)
+        return (self.inertia,), (
+            self.coords, self.potential, self._n, self.name, self.jacobian_fn,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coords, potential, n, name = aux
+        coords, potential, n, name, jacobian_fn = aux
         (inertia,) = children
         obj = cls.__new__(cls)
         obj.inertia = inertia
@@ -127,6 +141,7 @@ class System:
         obj.potential = potential
         obj._n = n
         obj.name = name
+        obj.jacobian_fn = jacobian_fn
         return obj
 
     def __repr__(self) -> str:
@@ -147,6 +162,7 @@ def mk_system(
     *,
     n: Optional[int] = None,
     name: str = "system",
+    jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> System:
     """Create a system from generalized-coordinate data.
 
@@ -161,8 +177,15 @@ def mk_system(
         ``(n,) -> scalar`` (``:213-215``).
       n: optional declared generalized dimension (runtime-checked on use).
       name: label for diagnostics.
+      jacobian_fn: optional analytic ``(n,) -> (m, n)`` Jacobian of
+        ``coords``, replacing the ``jacfwd`` derivation on the hot path (the
+        reference always derives via AD; this is the standard hand-derived
+        escape hatch — it must equal the AD Jacobian, which is cheap to
+        unit-test via ``jax.jacfwd(coords)``).
     """
-    system = System(inertia, coords, potential, n=n, name=name)
+    system = System(
+        inertia, coords, potential, n=n, name=name, jacobian_fn=jacobian_fn
+    )
     if n is not None:
         _validate_system(system, n)
     return system
@@ -196,6 +219,18 @@ def _validate_system(system: System, n: int) -> None:
         raise ValueError(
             f"potential must return a scalar, got shape {tuple(u_out.shape)}"
         )
+    if system.jacobian_fn is not None:
+        try:
+            j_out = jax.eval_shape(system.jacobian_fn, probe)
+        except Exception as e:
+            raise ValueError(
+                f"jacobian_fn failed shape tracing on a ({n},) input: {e}"
+            ) from e
+        if tuple(j_out.shape) != (system.m, n):
+            raise ValueError(
+                f"jacobian_fn must map ({n},) -> ({system.m}, {n}), got "
+                f"output shape {tuple(j_out.shape)}"
+            )
 
 
 def mk_system_cart(
@@ -205,14 +240,17 @@ def mk_system_cart(
     *,
     n: Optional[int] = None,
     name: str = "system",
+    jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> System:
     """Create a system with the potential stated in *Cartesian* coordinates.
 
     Analog of reference ``mkSystem'`` = ``mkSystem m f (u . f)``
-    (``Numeric/Hamilton.hs:238-254``).
+    (``Numeric/Hamilton.hs:238-254``).  See :func:`mk_system` for
+    ``jacobian_fn``.
     """
     system = System(
-        inertia, coords, lambda q: potential_cart(coords(q)), n=n, name=name
+        inertia, coords, lambda q: potential_cart(coords(q)), n=n, name=name,
+        jacobian_fn=jacobian_fn,
     )
     if n is not None:
         _validate_system(system, n)

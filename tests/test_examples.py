@@ -193,6 +193,34 @@ class TestChain:
         h = float(hamiltonian(ex.system, Phase(out.q[-1], out.p[-1])))
         assert abs((h - h0) / h0) < 1e-8
 
+    def test_analytic_jacobian_matches_ad(self):
+        """The chain's closed-form jacobian_fn must equal jacfwd(coords)
+        exactly (it replaces the AD derivation on the hot path)."""
+        import jax
+
+        for n_links, ll in ((3, 1.0), (20, 0.7)):
+            ex = chain(n_links=n_links, link_length=ll)
+            rng = np.random.default_rng(7)
+            for _ in range(3):
+                q = jnp.asarray(rng.uniform(-2, 2, n_links))
+                j_ad = jax.jacfwd(ex.system.coords)(q)
+                j_cf = ex.system.jacobian(q)
+                np.testing.assert_allclose(
+                    np.asarray(j_cf), np.asarray(j_ad), rtol=0, atol=1e-13
+                )
+
+    def test_jacobian_fn_shape_validated(self):
+        from hamilton_tpu.system import mk_system
+
+        with pytest.raises(ValueError, match="jacobian_fn"):
+            mk_system(
+                jnp.ones(2),
+                lambda q: jnp.concatenate([q, q])[:2],
+                lambda q: jnp.sum(q),
+                n=2,
+                jacobian_fn=lambda q: jnp.eye(3),  # wrong shape
+            )
+
     def test_20_link_stress_config_steps(self):
         """BASELINE configs[3]: System 40 20 — one fixed step runs finite."""
         ex = chain(n_links=20)

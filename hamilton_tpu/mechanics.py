@@ -89,6 +89,21 @@ def _jac_solve(system: System, j: jax.Array, b: jax.Array) -> jax.Array:
     return from_vec_tiles(spd_solve_jac_tiles(jt, to_vec_tiles(b), n, m))
 
 
+def _k_solve_tiles(system: System, q: jax.Array, b: jax.Array) -> jax.Array:
+    """``K(q)⁻¹ b`` on the tile path from an analytic ``mass_matrix_fn`` —
+    no Jacobian exists at all; the only per-solve HBM traffic is the (B, n²)
+    K formation plus its tile relayout (¼ of the Jacobian path's)."""
+    from hamilton_tpu.ops.pallas_solve import (
+        _to_tiles,
+        from_vec_tiles,
+        spd_solve_tiles,
+        to_vec_tiles,
+    )
+
+    k_mat = _vmap_leading(system.mass_matrix_fn, q.ndim - 1)(q)
+    return from_vec_tiles(spd_solve_tiles(_to_tiles(k_mat, 2), to_vec_tiles(b)))
+
+
 def _jacobian(system: System, q: jax.Array) -> jax.Array:
     """J(q) with leading batch axes: (..., m, n)."""
     return _vmap_leading(system.jacobian, q.ndim - 1)(q)
@@ -136,8 +151,11 @@ def mass_matrix(system: System, q: jax.Array) -> jax.Array:
 
     The ``tr j <> diag m <> j`` product of the reference
     (``Numeric/Hamilton.hs:324,380``) with the diagonal inertia applied as a
-    scaling, batched over any leading axes.
+    scaling, batched over any leading axes.  An analytic ``mass_matrix_fn``
+    on the system replaces the Jacobian contraction entirely.
     """
+    if system.mass_matrix_fn is not None:
+        return _vmap_leading(system.mass_matrix_fn, jnp.asarray(q).ndim - 1)(q)
     j = _jacobian(system, q)
     return _form_k(j, system.inertia)
 
@@ -145,6 +163,8 @@ def mass_matrix(system: System, q: jax.Array) -> jax.Array:
 def momenta(system: System, config: Config) -> jax.Array:
     """Conjugate momenta ``p = JᵀMJ q̇`` (reference ``momenta``,
     ``Numeric/Hamilton.hs:262-269``), batch-aware."""
+    if system.mass_matrix_fn is not None:
+        return _mv(mass_matrix(system, config.q), config.v)
     j = _jacobian(system, config.q)
     return _tmv(j, system.inertia * _mv(j, config.v))
 
@@ -155,6 +175,8 @@ def velocities(system: System, phase: Phase) -> jax.Array:
     ensemble hot path K is contracted directly into register-tile layout and
     solved there (no matrix relayout)."""
     if _tiles_ok(phase.q):
+        if system.mass_matrix_fn is not None:
+            return _k_solve_tiles(system, phase.q, phase.p)
         j = _jacobian(system, phase.q)
         return _jac_solve(system, j, phase.p)
     return spd_solve(mass_matrix(system, phase.q), phase.p)
@@ -213,6 +235,11 @@ def _dtdq(system: System, q: jax.Array, w: jax.Array) -> jax.Array:
     bandwidth-bound; docs/design.md "Round-2 additions").
     """
 
+    # NOTE: even when the system carries an analytic ``mass_matrix_fn``, this
+    # sweep stays on the coords linearization — ∂T/∂q = −½wᵀ(∂K/∂q)w via
+    # reverse AD through K was measured SLOWER on TPU (1.50 vs 1.00 ms/step,
+    # 16384×chain-20): its cotangent is a (B, n, n) array per call, while the
+    # coords sweep's activations are (B, m)-sized.
     def one(qi, wi):
         def jw(qq):
             return jax.jvp(system.coords, (qq,), (wi,))[1]
@@ -231,11 +258,15 @@ def ham_eqs(system: System, phase: Phase) -> Tuple[jax.Array, jax.Array]:
     to the Pallas ensemble kernel when a real batch axis is present on TPU.
     """
     q, p = phase.q, phase.p
-    j = _jacobian(system, q)  # (..., m, n)
-    if _tiles_ok(q):
-        w = _jac_solve(system, j, p)
+    if system.mass_matrix_fn is not None:
+        if _tiles_ok(q):
+            w = _k_solve_tiles(system, q, p)
+        else:
+            w = spd_solve(mass_matrix(system, q), p)
+    elif _tiles_ok(q):
+        w = _jac_solve(system, _jacobian(system, q), p)
     else:
-        k_mat = _form_k(j, system.inertia)
+        k_mat = _form_k(_jacobian(system, q), system.inertia)
         w = spd_solve(k_mat, p)  # q̇ = K⁻¹p  (∂H/∂p, :386)
     dhdq = _dtdq(system, q, w) + _grad_u(system, q)  # (:387)
     return w, -dhdq
@@ -263,6 +294,14 @@ class QFactor(NamedTuple):
 
 def q_factor(system: System, q: jax.Array) -> QFactor:
     """Factorize the q-dependent parts of :func:`ham_eqs` once."""
+    if system.mass_matrix_fn is not None:
+        k_mat = mass_matrix(system, q)
+        if _tiles_ok(q):
+            from hamilton_tpu.ops.pallas_solve import _to_tiles, cholesky_tiles
+
+            return QFactor(cholesky_tiles(_to_tiles(k_mat, 2)),
+                           _grad_u(system, q))
+        return QFactor(small_cholesky(k_mat), _grad_u(system, q))
     j = _jacobian(system, q)
     if _tiles_ok(q):
         from hamilton_tpu.ops.pallas_solve import cholesky_jac_tiles, jac_tiles

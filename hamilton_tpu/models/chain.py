@@ -69,12 +69,28 @@ def chain(
         jy = jnp.where(tril, link_length * jnp.sin(q)[None, :], 0.0)
         return jnp.concatenate([jx, jy], axis=0)  # (2N, N)
 
+    # Closed-form mass matrix: K[i,j] = Σ_k m_k·(∂x_k/∂θ_i·∂x_k/∂θ_j +
+    # ∂y_k/∂θ_i·∂y_k/∂θ_j) = l²·cos(θ_i−θ_j)·S_max(i,j) with the suffix
+    # mass sums S_r = Σ_{k≥r} m_k — n² elementwise ops, no Jacobian.  Equals
+    # JᵀMJ (unit-tested); on the ensemble hot path this removes the (B, m, n)
+    # Jacobian materialization entirely (docs/design.md "Round-2 hot-loop
+    # reductions").
+    suffix = jnp.cumsum(masses[::-1])[::-1]  # S_r
+    s_pair = jnp.minimum(suffix[:, None], suffix[None, :])  # S_max(i,j)
+
+    def mass_matrix_fn(q):
+        # cast the closure constant: q's dtype governs (the caller may trace
+        # at f32 inside an x64-enabled context, where s_pair was built f64)
+        return (link_length ** 2) * jnp.cos(q[:, None] - q[None, :]) * (
+            s_pair.astype(q.dtype)
+        )
+
     def potential_cart(xs):
         return gravity * jnp.sum(masses * xs[n_links:])
 
     system = mk_system_cart(
         inertia, coords, potential_cart, n=n_links, name=f"chain{n_links}",
-        jacobian_fn=jacobian_fn,
+        jacobian_fn=jacobian_fn, mass_matrix_fn=mass_matrix_fn,
     )
 
     def draw(xs):

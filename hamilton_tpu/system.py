@@ -57,6 +57,7 @@ class System:
         n: Optional[int] = None,
         name: str = "system",
         jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+        mass_matrix_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     ):
         self.inertia = jnp.asarray(inertia)
         if self.inertia.ndim != 1:
@@ -69,6 +70,7 @@ class System:
         self._n = n
         self.name = name
         self.jacobian_fn = jacobian_fn
+        self.mass_matrix_fn = mass_matrix_fn
 
     # -- dimensions -----------------------------------------------------
     @property
@@ -128,12 +130,13 @@ class System:
     # -- pytree protocol ------------------------------------------------
     def tree_flatten(self):
         return (self.inertia,), (
-            self.coords, self.potential, self._n, self.name, self.jacobian_fn,
+            self.coords, self.potential, self._n, self.name,
+            self.jacobian_fn, self.mass_matrix_fn,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coords, potential, n, name, jacobian_fn = aux
+        coords, potential, n, name, jacobian_fn, mass_matrix_fn = aux
         (inertia,) = children
         obj = cls.__new__(cls)
         obj.inertia = inertia
@@ -142,6 +145,7 @@ class System:
         obj._n = n
         obj.name = name
         obj.jacobian_fn = jacobian_fn
+        obj.mass_matrix_fn = mass_matrix_fn
         return obj
 
     def __repr__(self) -> str:
@@ -163,6 +167,7 @@ def mk_system(
     n: Optional[int] = None,
     name: str = "system",
     jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    mass_matrix_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> System:
     """Create a system from generalized-coordinate data.
 
@@ -182,9 +187,18 @@ def mk_system(
         reference always derives via AD; this is the standard hand-derived
         escape hatch — it must equal the AD Jacobian, which is cheap to
         unit-test via ``jax.jacfwd(coords)``).
+      mass_matrix_fn: optional analytic ``(n,) -> (n, n)`` generalized mass
+        matrix ``K(q) = J(q)ᵀ M J(q)``.  When given, the dynamics form K
+        directly — O(n²) elementwise ops instead of materializing the
+        (m, n) Jacobian and contracting (the dominant HBM traffic of the
+        ensemble hot loop; docs/design.md "Round-2 hot-loop reductions") —
+        and ``∂T/∂q`` is taken as ``−½ wᵀ(∂K/∂q)w`` by reverse AD through
+        this function.  Must equal ``JᵀMJ`` (unit-tested for bundled
+        models).
     """
     system = System(
-        inertia, coords, potential, n=n, name=name, jacobian_fn=jacobian_fn
+        inertia, coords, potential, n=n, name=name, jacobian_fn=jacobian_fn,
+        mass_matrix_fn=mass_matrix_fn,
     )
     if n is not None:
         _validate_system(system, n)
@@ -231,6 +245,18 @@ def _validate_system(system: System, n: int) -> None:
                 f"jacobian_fn must map ({n},) -> ({system.m}, {n}), got "
                 f"output shape {tuple(j_out.shape)}"
             )
+    if system.mass_matrix_fn is not None:
+        try:
+            k_out = jax.eval_shape(system.mass_matrix_fn, probe)
+        except Exception as e:
+            raise ValueError(
+                f"mass_matrix_fn failed shape tracing on a ({n},) input: {e}"
+            ) from e
+        if tuple(k_out.shape) != (n, n):
+            raise ValueError(
+                f"mass_matrix_fn must map ({n},) -> ({n}, {n}), got "
+                f"output shape {tuple(k_out.shape)}"
+            )
 
 
 def mk_system_cart(
@@ -241,16 +267,17 @@ def mk_system_cart(
     n: Optional[int] = None,
     name: str = "system",
     jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    mass_matrix_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> System:
     """Create a system with the potential stated in *Cartesian* coordinates.
 
     Analog of reference ``mkSystem'`` = ``mkSystem m f (u . f)``
     (``Numeric/Hamilton.hs:238-254``).  See :func:`mk_system` for
-    ``jacobian_fn``.
+    ``jacobian_fn`` / ``mass_matrix_fn``.
     """
     system = System(
         inertia, coords, lambda q: potential_cart(coords(q)), n=n, name=name,
-        jacobian_fn=jacobian_fn,
+        jacobian_fn=jacobian_fn, mass_matrix_fn=mass_matrix_fn,
     )
     if n is not None:
         _validate_system(system, n)

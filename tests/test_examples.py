@@ -209,6 +209,50 @@ class TestChain:
                     np.asarray(j_cf), np.asarray(j_ad), rtol=0, atol=1e-13
                 )
 
+    def test_analytic_mass_matrix_matches_jtmj(self):
+        """K(q) = l²·cos(θi−θj)·S_max(i,j) must equal JᵀMJ from AD (it
+        replaces the whole Jacobian pipeline on the hot path)."""
+        import jax
+
+        from hamilton_tpu.mechanics import mass_matrix
+
+        for kwargs in (
+            dict(n_links=3),
+            dict(n_links=20, link_length=0.7),
+            dict(n_links=4, masses=[2.0, 1.0, 0.5, 3.0]),
+        ):
+            ex = chain(**kwargs)
+            rng = np.random.default_rng(11)
+            q = jnp.asarray(rng.uniform(-2, 2, ex.n))
+            j = jax.jacfwd(ex.system.coords)(q)
+            k_ref = j.T @ (ex.system.inertia[:, None] * j)
+            k_cf = mass_matrix(ex.system, q)
+            np.testing.assert_allclose(
+                np.asarray(k_cf), np.asarray(k_ref), rtol=1e-12, atol=1e-12
+            )
+
+    def test_analytic_dynamics_match_ad_dynamics(self):
+        """ham_eqs through the analytic K path ≡ through the AD/Jacobian
+        path (the override must not change the physics)."""
+        from hamilton_tpu.mechanics import ham_eqs
+        from hamilton_tpu.system import mk_system_cart
+
+        ex = chain(n_links=6, link_length=0.8)
+        plain = mk_system_cart(
+            ex.system.inertia, ex.system.coords,
+            lambda xs: 5.0 * jnp.sum(xs[6:]), n=6,
+        )
+        # same potential form as chain's default (unit masses)
+        rng = np.random.default_rng(3)
+        ph = Phase(jnp.asarray(rng.uniform(-1, 1, (4, 6))),
+                   jnp.asarray(rng.uniform(-1, 1, (4, 6))))
+        dq_a, dp_a = ham_eqs(ex.system, ph)
+        dq_b, dp_b = ham_eqs(plain, ph)
+        np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_b),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(dp_a), np.asarray(dp_b),
+                                   rtol=1e-10, atol=1e-10)
+
     def test_jacobian_fn_shape_validated(self):
         from hamilton_tpu.system import mk_system
 

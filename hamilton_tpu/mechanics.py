@@ -235,6 +235,12 @@ def _dtdq(system: System, q: jax.Array, w: jax.Array) -> jax.Array:
     bandwidth-bound; docs/design.md "Round-2 additions").
     """
 
+    # An analytic ``dtdq_fn`` (∂T/∂q at fixed w) replaces the sweep outright.
+    # NOTE the sign: this function returns the KINETIC PART OF ∂H/∂q, which
+    # is −∂T/∂q|_w (Legendre identity), hence the negation of the override.
+    if system.dtdq_fn is not None:
+        return -_vmap_leading(system.dtdq_fn, q.ndim - 1)(q, w)
+
     # NOTE: even when the system carries an analytic ``mass_matrix_fn``, this
     # sweep stays on the coords linearization — ∂T/∂q = −½wᵀ(∂K/∂q)w via
     # reverse AD through K was measured SLOWER on TPU (1.50 vs 1.00 ms/step,

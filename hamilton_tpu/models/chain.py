@@ -85,6 +85,15 @@ def chain(
             s_pair.astype(q.dtype)
         )
 
+    # NO ``dtdq_fn`` override here, deliberately: chain's ∂T/∂q closed forms
+    # were measured SLOWER than the AD sweep on TPU (16384×20 leapfrog A/B,
+    # scripts/perf_ab_analytic.py): the O(n²) pairwise form
+    # −l²·w_k·Σ_j sin(θ_k−θ_j)·S_max(k,j)·w_j costs 1.50 vs 0.95 ms/step
+    # ((B, n, n) sin + reduce traffic), and the O(n) prefix/suffix-cumsum
+    # separation 1.00 ms/step — the AD sweep through the cumsum-shaped
+    # coords is already cumsum-structured, so hand forms only add work
+    # (docs/design.md "Round-2 hot-loop reductions").
+
     def potential_cart(xs):
         return gravity * jnp.sum(masses * xs[n_links:])
 

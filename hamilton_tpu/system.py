@@ -58,6 +58,9 @@ class System:
         name: str = "system",
         jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
         mass_matrix_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+        dtdq_fn: Optional[
+            Callable[[jax.Array, jax.Array], jax.Array]
+        ] = None,
     ):
         self.inertia = jnp.asarray(inertia)
         if self.inertia.ndim != 1:
@@ -71,6 +74,7 @@ class System:
         self.name = name
         self.jacobian_fn = jacobian_fn
         self.mass_matrix_fn = mass_matrix_fn
+        self.dtdq_fn = dtdq_fn
 
     # -- dimensions -----------------------------------------------------
     @property
@@ -131,12 +135,12 @@ class System:
     def tree_flatten(self):
         return (self.inertia,), (
             self.coords, self.potential, self._n, self.name,
-            self.jacobian_fn, self.mass_matrix_fn,
+            self.jacobian_fn, self.mass_matrix_fn, self.dtdq_fn,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coords, potential, n, name, jacobian_fn, mass_matrix_fn = aux
+        coords, potential, n, name, jacobian_fn, mass_matrix_fn, dtdq_fn = aux
         (inertia,) = children
         obj = cls.__new__(cls)
         obj.inertia = inertia
@@ -146,6 +150,7 @@ class System:
         obj.name = name
         obj.jacobian_fn = jacobian_fn
         obj.mass_matrix_fn = mass_matrix_fn
+        obj.dtdq_fn = dtdq_fn
         return obj
 
     def __repr__(self) -> str:
@@ -168,6 +173,7 @@ def mk_system(
     name: str = "system",
     jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     mass_matrix_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    dtdq_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
 ) -> System:
     """Create a system from generalized-coordinate data.
 
@@ -195,10 +201,18 @@ def mk_system(
         and ``∂T/∂q`` is taken as ``−½ wᵀ(∂K/∂q)w`` by reverse AD through
         this function.  Must equal ``JᵀMJ`` (unit-tested for bundled
         models).
+      dtdq_fn: optional analytic ``(q, w) -> (n,)`` kinetic-energy gradient
+        ``∂T/∂q`` at *fixed generalized velocity* ``w = q̇``, i.e.
+        ``½ ∂(wᵀK(q)w)/∂q``.  The dynamics use ``∂H/∂q = ∇U − ∂T/∂q|_w``
+        (the standard Legendre identity), so an override here replaces the
+        reverse-over-forward AD sweep of ``hamEqs`` — the dominant cost of
+        the factored leapfrog step (three sweeps/step; docs/design.md
+        "Round-2 hot-loop reductions").  Must equal the AD sweep
+        (unit-tested for bundled models).
     """
     system = System(
         inertia, coords, potential, n=n, name=name, jacobian_fn=jacobian_fn,
-        mass_matrix_fn=mass_matrix_fn,
+        mass_matrix_fn=mass_matrix_fn, dtdq_fn=dtdq_fn,
     )
     if n is not None:
         _validate_system(system, n)
@@ -257,6 +271,18 @@ def _validate_system(system: System, n: int) -> None:
                 f"mass_matrix_fn must map ({n},) -> ({n}, {n}), got "
                 f"output shape {tuple(k_out.shape)}"
             )
+    if system.dtdq_fn is not None:
+        try:
+            d_out = jax.eval_shape(system.dtdq_fn, probe, probe)
+        except Exception as e:
+            raise ValueError(
+                f"dtdq_fn failed shape tracing on ({n},), ({n},) inputs: {e}"
+            ) from e
+        if tuple(d_out.shape) != (n,):
+            raise ValueError(
+                f"dtdq_fn must map ({n},), ({n},) -> ({n},), got "
+                f"output shape {tuple(d_out.shape)}"
+            )
 
 
 def mk_system_cart(
@@ -268,16 +294,18 @@ def mk_system_cart(
     name: str = "system",
     jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     mass_matrix_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    dtdq_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
 ) -> System:
     """Create a system with the potential stated in *Cartesian* coordinates.
 
     Analog of reference ``mkSystem'`` = ``mkSystem m f (u . f)``
     (``Numeric/Hamilton.hs:238-254``).  See :func:`mk_system` for
-    ``jacobian_fn`` / ``mass_matrix_fn``.
+    ``jacobian_fn`` / ``mass_matrix_fn`` / ``dtdq_fn``.
     """
     system = System(
         inertia, coords, lambda q: potential_cart(coords(q)), n=n, name=name,
         jacobian_fn=jacobian_fn, mass_matrix_fn=mass_matrix_fn,
+        dtdq_fn=dtdq_fn,
     )
     if n is not None:
         _validate_system(system, n)

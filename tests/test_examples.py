@@ -231,6 +231,44 @@ class TestChain:
                 np.asarray(k_cf), np.asarray(k_ref), rtol=1e-12, atol=1e-12
             )
 
+    def test_dtdq_fn_override_matches_ad_sweep(self):
+        """A ``dtdq_fn`` override must slot into the dynamics exactly where
+        the AD sweep sits.  Bead-on-a-parabola: coords q ↦ (q, q²) with unit
+        masses gives K = 1 + 4q², T = ½w²(1+4q²), ∂T/∂q = 4·q·w² — a clean
+        closed form (chain itself ships none: its closed forms measured
+        slower than the AD sweep; see models/chain.py)."""
+        from hamilton_tpu import mechanics as M
+        from hamilton_tpu.state import Phase
+        from hamilton_tpu.system import mk_system
+
+        def coords(q):
+            return jnp.concatenate([q, q * q])
+
+        def potential(q):
+            return jnp.sum(q * q)
+
+        plain = mk_system(jnp.ones(2), coords, potential, n=1)
+        override = mk_system(
+            jnp.ones(2), coords, potential, n=1,
+            dtdq_fn=lambda q, w: 4.0 * q * w * w,
+        )
+        rng = np.random.default_rng(7)
+        ph = Phase(jnp.asarray(rng.uniform(-2, 2, (6, 1))),
+                   jnp.asarray(rng.uniform(-1, 1, (6, 1))))
+        for a, b in zip(M.ham_eqs(override, ph), M.ham_eqs(plain, ph)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12
+            )
+
+    def test_dtdq_fn_shape_validated(self):
+        from hamilton_tpu.system import mk_system
+
+        with np.testing.assert_raises(ValueError):
+            mk_system(
+                jnp.ones(2), lambda q: q, lambda q: jnp.sum(q), n=2,
+                dtdq_fn=lambda q, w: jnp.zeros(3),
+            )
+
     def test_analytic_dynamics_match_ad_dynamics(self):
         """ham_eqs through the analytic K path ≡ through the AD/Jacobian
         path (the override must not change the physics)."""

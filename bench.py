@@ -78,30 +78,48 @@ def phase_throughput(args):
 
     chunk_steps = min(args.chunk_steps, args.steps)
     n_steps = (args.steps // chunk_steps) * chunk_steps
-    chunk_wall = []
-    t_last = [time.perf_counter()]
 
-    def on_chunk(ci, phase, drift):
-        now = time.perf_counter()
-        chunk_wall.append(now - t_last[0])
-        t_last[0] = now
+    def run(method, iters):
+        chunk_wall = []
+        t_last = [time.perf_counter()]
 
-    with jax.enable_x64(True):
-        system, ph = _build(args.batch, jnp.float32)
-        final, drift = evolve_ensemble_chunked(
-            system, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
-            method=args.method, iters=args.iters, compensated=True,
-            drift_every=1000, drift_dtype=jnp.float64, callback=on_chunk,
-        )
-        jax.block_until_ready(final.q)
-        max_drift = float(jnp.max(drift))
+        def on_chunk(ci, phase, drift):
+            now = time.perf_counter()
+            chunk_wall.append(now - t_last[0])
+            t_last[0] = now
+
+        with jax.enable_x64(True):
+            system, ph = _build(args.batch, jnp.float32)
+            final, drift = evolve_ensemble_chunked(
+                system, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
+                method=method, iters=iters, compensated=True,
+                drift_every=min(1000, chunk_steps),
+                drift_dtype=jnp.float64, callback=on_chunk,
+            )
+            jax.block_until_ready(final.q)
+            max_drift = float(jnp.max(drift))
+        return chunk_wall, max_drift
+
+    # headline path: the fused whole-step kernel (method="leapfrog_fused",
+    # ops/pallas_step.py) — falls back to the generic library leapfrog if
+    # the fused path is unavailable for the config
+    method, iters = args.method, args.iters
+    fallback_error = None
+    try:
+        chunk_wall, max_drift = run(method, iters)
+    except Exception as e:  # pragma: no cover
+        fallback_error = f"{type(e).__name__}: {e}"[:200]
+        method, iters = "leapfrog", (2, 0)
+        chunk_wall, max_drift = run(method, iters)
     steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
     el = sum(steady)
     steady_steps = chunk_steps * len(steady)
-    return {
+    out = {
         "member_steps_per_sec": args.batch * steady_steps / el,
         "steps": n_steps,
         "batch": args.batch,
+        "throughput_method": method,
+        "throughput_iters": str(iters),
         "elapsed_steady_s": round(el, 3),
         "steady_chunks": len(steady),
         "chunk_steps": chunk_steps,
@@ -110,6 +128,9 @@ def phase_throughput(args):
         "tpu_drift_steps": n_steps,
         "platform": jax.devices()[0].platform,
     }
+    if fallback_error:
+        out["fused_fallback_error"] = fallback_error
+    return out
 
 
 def phase_drift(args):
@@ -262,9 +283,11 @@ def phase_cpu_baseline(args):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         system, ph = _build(1, jnp.float32)
+        # single-trajectory: the generic library leapfrog (the fused kernel
+        # is an ensemble path — it needs register-tile batches)
         run = jax.jit(
             lambda p, n: evolve_ensemble_final(
-                system, p, 1e-3, n, method=args.method, iters=args.iters,
+                system, p, 1e-3, n, method="leapfrog", iters=(2, 0),
                 track_drift=False, drift_every=n,
             )[0],
             static_argnums=1,
@@ -301,17 +324,20 @@ def main(argv=None):
     ap.add_argument("--drift-steps", type=int, default=100_000)
     ap.add_argument("--drift-batch", type=int, default=1024)
     ap.add_argument("--dp-drift-steps", type=int, default=100_000)
-    ap.add_argument("--method", default="leapfrog")
+    # headline method: the fused whole-step Pallas kernel (exact warm-started
+    # fixed points, 0.139 ms/step at 16384×20 vs 0.40 for the library path —
+    # docs/design.md "Fused whole-step kernel"); phase_throughput falls back
+    # to the library leapfrog if the fused path errors.
+    ap.add_argument("--method", default="leapfrog_fused")
 
     def iters_arg(s):
         return tuple(int(x) for x in s.split(",")) if "," in s else int(s)
 
-    # "2,0" = warm-started Gauss-Seidel counts (iters_p=2, factor once at
-    # the O(dt³) predictor): matches the converged drift (1.93e-7 @5k /
-    # 2.74e-7 @20k vs exact-mode 2.86e-7, f64 chain-20) while paying ONE
-    # Jacobian materialization per step — docs/design.md "Round-2 hot-loop
-    # reductions".
-    ap.add_argument("--iters", type=iters_arg, default=(2, 0))
+    # "2,1" for the fused kernel = warm-started exact iterations (drift
+    # 3.9e-7 @2e4 f32-compensated, ≈ the converged level).  The library
+    # fallback uses "2,0" (warm Gauss-Seidel, its own converged point —
+    # docs/design.md "Round-2 hot-loop reductions").
+    ap.add_argument("--iters", type=iters_arg, default=(2, 1))
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
     ap.add_argument("--skip-drift", action="store_true")

@@ -110,7 +110,11 @@ def _final_loop_body(stepper, dt, measure_h, h0, h_scale, drift_every, track_dri
 
     ONE flat loop (nested scan-of-fori de-optimizes ~5-11× on TPU); the
     drift sample is a cond-guarded computation every ``drift_every`` steps.
+    Loop iteration ``i`` advances ``stepper.substeps`` dt-steps (1 for the
+    library steppers; >1 for the fused multi-step kernel), so the drift
+    cadence is counted in dt-steps.
     """
+    sub = stepper.substeps
 
     def body(i, state):
         carry, drift = state
@@ -121,11 +125,24 @@ def _final_loop_body(stepper, dt, measure_h, h0, h_scale, drift_every, track_dri
                 return jnp.maximum(d, jnp.abs(h - h0) / h_scale)
 
             drift = jax.lax.cond(
-                (i + 1) % drift_every == 0, sample, lambda d: d, drift
+                ((i + 1) * sub) % drift_every == 0, sample, lambda d: d, drift
             )
         return (carry, drift)
 
     return body
+
+
+def _check_substeps(stepper, n_steps, drift_every, track_drift):
+    sub = stepper.substeps
+    if n_steps % sub != 0:
+        raise ValueError(
+            f"{n_steps=} not divisible by the stepper's substeps ({sub})"
+        )
+    if track_drift and drift_every % sub != 0:
+        raise ValueError(
+            f"{drift_every=} not divisible by the stepper's substeps ({sub})"
+        )
+    return sub
 
 
 def evolve_ensemble_final(
@@ -141,6 +158,7 @@ def evolve_ensemble_final(
     drift_every: int = 100,
     compensated: bool = False,
     drift_dtype=None,
+    steps_per_call: int = 1,
 ) -> Tuple[Phase, Optional[jax.Array]]:
     """Evolve a batch to its final state without materializing trajectories.
 
@@ -157,8 +175,10 @@ def evolve_ensemble_final(
     if n_steps % drift_every != 0:
         raise ValueError(f"{n_steps=} not divisible by {drift_every=}")
     stepper = make_stepper(
-        system, method, iters=iters, omega=omega, compensated=compensated
+        system, method, iters=iters, omega=omega, compensated=compensated,
+        steps_per_call=steps_per_call,
     )
+    sub = _check_substeps(stepper, n_steps, drift_every, track_drift)
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)  # batch-native: mechanics are batch-aware
     measure_h, h0, h_scale = _drift_measure(system, phase0, drift_dtype)
@@ -166,7 +186,7 @@ def evolve_ensemble_final(
         stepper, dt, measure_h, h0, h_scale, drift_every, track_drift
     )
     carry, drift = jax.lax.fori_loop(
-        0, n_steps, body, (carry0, jnp.zeros_like(h0))
+        0, n_steps // sub, body, (carry0, jnp.zeros_like(h0))
     )
     final = stepper.extract(carry)
     return final, (drift if track_drift else None)
@@ -187,6 +207,7 @@ def evolve_ensemble_chunked(
     compensated: bool = False,
     drift_dtype=None,
     callback=None,
+    steps_per_call: int = 1,
 ) -> Tuple[Phase, Optional[jax.Array]]:
     """Like :func:`evolve_ensemble_final`, but the horizon is executed as
     ``n_steps // chunk_steps`` separate device dispatches of one compiled
@@ -211,8 +232,10 @@ def evolve_ensemble_chunked(
     if track_drift and chunk_steps % drift_every != 0:
         raise ValueError(f"{chunk_steps=} not divisible by {drift_every=}")
     stepper = make_stepper(
-        system, method, iters=iters, omega=omega, compensated=compensated
+        system, method, iters=iters, omega=omega, compensated=compensated,
+        steps_per_call=steps_per_call,
     )
+    sub = _check_substeps(stepper, chunk_steps, drift_every, track_drift)
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)
     measure_h, h0, h_scale = _drift_measure(system, phase0, drift_dtype)
@@ -222,7 +245,7 @@ def evolve_ensemble_chunked(
 
     @jax.jit
     def chunk(carry, drift):
-        return jax.lax.fori_loop(0, chunk_steps, body, (carry, drift))
+        return jax.lax.fori_loop(0, chunk_steps // sub, body, (carry, drift))
 
     carry, drift = carry0, jnp.zeros_like(h0)
     for ci in range(n_steps // chunk_steps):

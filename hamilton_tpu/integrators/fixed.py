@@ -64,6 +64,10 @@ class Stepper:
     extract: Callable[[Any], Phase]
     order: int
     symplectic: bool
+    # dt-steps advanced per ``step`` call (>1 for fused multi-step kernels
+    # that amortize per-dispatch launch overhead — ops/pallas_step.py);
+    # evolution drivers divide their loop counts by this.
+    substeps: int = 1
 
 
 def _rhs(system: System):
@@ -434,6 +438,7 @@ def _yoshida4_stepper(system: System, iters: int) -> Stepper:
 FIXED_METHODS = (
     "rk4",
     "leapfrog",
+    "leapfrog_fused",
     "midpoint",
     "gauss4",
     "gauss6",
@@ -450,6 +455,7 @@ def make_stepper(
     iters=6,
     omega: float = 20.0,
     compensated: bool = False,
+    steps_per_call: int = 1,
 ) -> Stepper:
     """Build a fixed-step :class:`Stepper` for ``system``.
 
@@ -466,8 +472,17 @@ def make_stepper(
         only) — keeps f32 long-horizon energy drift at the per-step-increment
         level instead of an O(√N·eps) random walk; the low-precision path to
         the <1e-6 drift target on hardware without fast f64.
+      steps_per_call: for ``leapfrog_fused`` only — dt-steps executed inside
+        one kernel dispatch (amortizes the per-dispatch launch overhead; the
+        returned stepper reports it as ``.substeps``).
     """
-    if isinstance(iters, tuple) and method not in ("leapfrog", "yoshida4"):
+    if steps_per_call != 1 and method != "leapfrog_fused":
+        raise ValueError(
+            f"steps_per_call applies to 'leapfrog_fused', not {method!r}"
+        )
+    if isinstance(iters, tuple) and method not in (
+        "leapfrog", "leapfrog_fused", "yoshida4"
+    ):
         raise ValueError(
             f"split (iters_p, iters_q) counts apply to leapfrog/yoshida4, "
             f"not {method!r}"
@@ -476,6 +491,18 @@ def make_stepper(
         stepper = _explicit_rk_stepper(system, RK4)
     elif method == "leapfrog":
         return _leapfrog_stepper(system, iters, compensated)
+    elif method == "leapfrog_fused":
+        # fused whole-step Pallas kernel (ops/pallas_step.py), attached per
+        # system by models whose family has the required closed forms
+        if system.pallas_step is None:
+            raise ValueError(
+                f"system {system.name!r} carries no fused step kernel "
+                f"(System.pallas_step); use method='leapfrog'"
+            )
+        return system.pallas_step(
+            iters=iters, compensated=compensated,
+            steps_per_call=steps_per_call,
+        )
     elif method == "midpoint":
         return _gauss_stepper(system, GAUSS2, iters, compensated)
     elif method == "gauss4":

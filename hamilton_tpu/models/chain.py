@@ -97,9 +97,25 @@ def chain(
     def potential_cart(xs):
         return gravity * jnp.sum(masses * xs[n_links:])
 
+    # Fused whole-step kernel (opt-in via method="leapfrog_fused"): the
+    # planar-serial-chain closed forms let the entire Verlet step run inside
+    # one Pallas kernel with the state resident in register tiles
+    # (ops/pallas_step.py).  Constants are baked from THESE masses/lengths.
+    from hamilton_tpu.ops.pallas_step import serial_chain_stepper
+
+    mass_list = [float(m) for m in masses]
+
+    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1):
+        return serial_chain_stepper(
+            mass_list, [link_length] * n_links, gravity,
+            iters=iters, compensated=compensated,
+            steps_per_call=steps_per_call,
+        )
+
     system = mk_system_cart(
         inertia, coords, potential_cart, n=n_links, name=f"chain{n_links}",
         jacobian_fn=jacobian_fn, mass_matrix_fn=mass_matrix_fn,
+        pallas_step=pallas_step,
     )
 
     def draw(xs):

@@ -1,0 +1,341 @@
+"""Fused whole-step Pallas kernel for planar serial-chain systems.
+
+The tile-resident hot loop (:mod:`hamilton_tpu.ops.pallas_solve`) still pays
+one HBM round-trip per *operation* — factor, five solves, three AD sweeps and
+their elementwise glue each read and write (B, n)-to-(B, n²)-sized arrays.
+At 16384×chain-20 that is ~0.95 ms/step while the arithmetic itself is worth
+~60 µs: the step is pure memory traffic.
+
+This module collapses the **entire generalized Störmer-Verlet step** into one
+Pallas kernel for the *planar serial linkage* family (pendulum, double
+pendulum, N-link chain — reference ``app/Examples.hs:61-183`` members plus
+the BASELINE chain config), whose closed forms make every per-step quantity
+computable from ``2n`` transcendentals and static coefficients:
+
+* mass matrix      ``K_ij(q)   = l_i·l_j·cos(θ_i−θ_j)·S_max(i,j)``
+* potential grad   ``∇U_i(q)   = g·l_i·sin(θ_i)·S_i``
+* kinetic gradient ``∂T/∂θ_k|w = −l_k·w_k·Σ_j l_j·sin(θ_k−θ_j)·S_kj·w_j``
+
+with ``S_r = Σ_{k≥r} m_k`` the suffix mass sums.  All pairwise
+``sin/cos(θ_i−θ_j)`` come from the ``n`` sin/cos pairs by the angle-subtraction
+identities — vector FMAs, not transcendentals.  The kernel keeps the whole
+step in registers/VMEM (batch-in-registers layout, one (8, 128) tile per
+scalar — see pallas_solve.py); per step the only HBM traffic is the (B, n)
+state in and out.  Because an in-register factorization is ~free, the kernel
+runs *exact* fixed-point iterations (fresh factor at q₀ and at each q₁
+iterate) — no stale-factor Gauss-Seidel tricks, no warm-start carries.
+
+The evolution state stays in tile layout **across steps** (the Stepper carry
+is the tiled state), so chained steps move no layout at all; ``extract`` is
+the only relayout and runs once per emission/drift sample.
+
+This is an opt-in hot path: systems carrying these closed forms attach a
+factory as ``System.pallas_step`` and callers select it with
+``method="leapfrog_fused"``; the generic AD/library path stays the default
+and the correctness reference (parity unit-tested in interpreter mode).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hamilton_tpu.state import Phase
+
+__all__ = ["serial_chain_stepper"]
+
+TILE_B = 8 * 128
+
+
+def _suffix_sums(xs):
+    out, acc = [], 0.0
+    for x in reversed(xs):
+        acc += float(x)
+        out.append(acc)
+    return list(reversed(out))
+
+
+def _to_tiles(x: jax.Array) -> jax.Array:
+    """(B, n) → (G, n, 8, 128)."""
+    b, n = x.shape
+    return jnp.moveaxis(x.reshape(b // TILE_B, 8, 128, n), 3, 1)
+
+
+def _from_tiles(xt: jax.Array) -> jax.Array:
+    """(G, n, 8, 128) → (B, n)."""
+    g, n = xt.shape[0], xt.shape[1]
+    return jnp.moveaxis(xt, 1, 3).reshape(g * TILE_B, n)
+
+
+def serial_chain_stepper(
+    masses: Sequence[float],
+    lengths: Sequence[float],
+    gravity: float,
+    *,
+    iters=(3, 1),
+    compensated: bool = False,
+    steps_per_call: int = 1,
+):
+    """Build a fused whole-step leapfrog :class:`Stepper` for a planar serial
+    chain with the given per-link masses/lengths and gravity.
+
+    All parameters are baked into the kernel as static constants (the factory
+    is attached at model construction; re-scaling ``System.inertia`` through
+    the pytree does NOT reach this stepper — use the library path for
+    parameter sweeps).  ``iters=(iters_p, iters_q)`` are the momentum/position
+    fixed-point counts, both *exact* (fresh in-register factorization per
+    iterate); ``iters_q=0`` selects the predictor-factor (Gauss-Seidel)
+    placement matching the library's mode.  State batches must be
+    ``(B, n)`` with ``B`` a multiple of 1024.
+
+    ``steps_per_call`` executes that many consecutive dt-steps inside ONE
+    kernel invocation (a Mosaic-level ``fori_loop`` whose carry lives in
+    registers/VMEM), and the resulting ``Stepper`` reports it as
+    ``.substeps`` so evolution drivers keep step counts and drift-sampling
+    cadence aligned.  Measured NEUTRAL on the target TPU (0.250 vs 0.254
+    ms/step at 16384×20): per-kernel-call cost inside a compiled loop is
+    already negligible there — the ~25 ms fixed cost is per *jit dispatch*
+    through the device relay, which long-chunk drivers amortize anyway.
+    Kept for environments where kernel-launch overhead is real.
+    """
+    from hamilton_tpu.integrators.fixed import Stepper, _kahan_add  # no cycle
+
+    n = len(masses)
+    if len(lengths) != n:
+        raise ValueError(f"need {n} lengths, got {len(lengths)}")
+    iters_p, iters_q = iters if isinstance(iters, tuple) else (iters, iters)
+    if iters_p < 1:
+        raise ValueError("fused leapfrog needs iters_p >= 1")
+    suff = _suffix_sums(masses)  # S_r
+    ls = [float(l) for l in lengths]
+    # K/sweep coefficient C_ij = l_i·l_j·S_max(i,j); ∇U coefficient g·l_i·S_i
+    c_mat = [[ls[i] * ls[j] * suff[max(i, j)] for j in range(n)] for i in range(n)]
+    gu = [float(gravity) * ls[i] * suff[i] for i in range(n)]
+
+    def trig(q):
+        return [jnp.sin(qi) for qi in q], [jnp.cos(qi) for qi in q]
+
+    def k_at(s, c):
+        def at(i, j):
+            if i == j:
+                # cos(0)·C_ii exactly (not c²+s² with its rounding)
+                return jnp.full_like(s[0], c_mat[i][i])
+            return c_mat[i][j] * (c[i] * c[j] + s[i] * s[j])
+
+        return at
+
+    def dhdq(s, c, q_unused, w):
+        """∂H/∂q = ∇U − ∂T/∂q|_w, from the trig pairs at this q."""
+        out = []
+        for k in range(n):
+            acc = None
+            for j in range(n):
+                if j == k:
+                    continue
+                pair = s[k] * c[j] - c[k] * s[j]  # sin(θk−θj)
+                t = (c_mat[k][j] * pair) * w[j]
+                acc = t if acc is None else acc + t
+            kin = w[k] * acc if acc is not None else jnp.zeros_like(w[k])
+            out.append(gu[k] * s[k] + kin)
+        return out
+
+    # reuse the unrolled tile-entry factor/solve bodies from pallas_solve
+    from hamilton_tpu.ops.pallas_solve import _chol_entries, _solve_entries
+
+    def increments(q0, p0, a_est, vdot_est, dt, half):
+        """Lists of (8, 128) tiles → (dq_inc, dp_inc, warm') tile lists.
+
+        ``(a_est, vdot_est)`` warm-start the two fixed points from the
+        previous step's converged force / velocity derivative, exactly as
+        the library stepper does (fixed.py): the fixed *points* are
+        unchanged, only the residual after the static iteration counts
+        shrinks — measured on-TPU f32 drift at 16384×chain-20, 1e4 steps:
+        cold (3,1) 6.7e-7 vs warm (3,1) at the converged level (the cold
+        residual dominates the Kahan-compensated rounding floor)."""
+        s0, c0 = trig(q0)
+        low0, inv_d0 = _chol_entries(k_at(s0, c0), n)
+        ph = [p0[i] - half * a_est[i] for i in range(n)]
+        a_last = a_est
+        for _ in range(iters_p):
+            w = _solve_entries(low0, inv_d0, lambda i: ph[i], n)
+            a_last = dhdq(s0, c0, q0, w)
+            ph = [p0[i] - half * a_last[i] for i in range(n)]
+        v0 = _solve_entries(low0, inv_d0, lambda i: ph[i], n)
+        q1 = [q0[i] + dt * v0[i] + (dt * half) * vdot_est[i]
+              for i in range(n)]  # warm predictor
+        v_last = v0
+        if iters_q == 0:
+            # predictor-factor placement (cf. fixed.py Gauss-Seidel mode):
+            # one factor at the O(dt²) predictor serves the q-refinement and
+            # the end-of-step force
+            s1, c1 = trig(q1)
+            low1, inv_d1 = _chol_entries(k_at(s1, c1), n)
+            v_last = _solve_entries(low1, inv_d1, lambda i: ph[i], n)
+            q1 = [q0[i] + half * (v0[i] + v_last[i]) for i in range(n)]
+            # force at the refined q1 with the predictor factor's velocity
+            s1r, c1r = trig(q1)
+            b = dhdq(s1r, c1r, q1, v_last)
+        else:
+            for _ in range(iters_q):
+                s1, c1 = trig(q1)
+                low1, inv_d1 = _chol_entries(k_at(s1, c1), n)
+                v_last = _solve_entries(low1, inv_d1, lambda i: ph[i], n)
+                q1 = [q0[i] + half * (v0[i] + v_last[i]) for i in range(n)]
+            # exact end-of-step factor at the converged q1
+            s1, c1 = trig(q1)
+            low1, inv_d1 = _chol_entries(k_at(s1, c1), n)
+            w1 = _solve_entries(low1, inv_d1, lambda i: ph[i], n)
+            b = dhdq(s1, c1, q1, w1)
+        dq_inc = [half * (v0[i] + v_last[i]) for i in range(n)]
+        dp_inc = [-half * (a_last[i] + b[i]) for i in range(n)]
+        inv_dt = 1.0 / dt
+        vdot1 = [(v_last[i] - v0[i]) * inv_dt for i in range(n)]
+        return dq_inc, dp_inc, b, vdot1
+
+    class _View:
+        def __init__(self, ref):
+            self._ref = ref
+
+        def __getitem__(self, i):
+            return self._ref[0, i]
+
+        def __setitem__(self, i, val):
+            self._ref[0, i] = val
+
+    def _multi(step_once, state):
+        """Run ``steps_per_call`` step bodies; the carry (a tuple of tile
+        tuples) stays in registers/VMEM across the Mosaic-level loop."""
+        if steps_per_call == 1:
+            return step_once(state)
+        return jax.lax.fori_loop(
+            0, steps_per_call, lambda i, s: step_once(s), state
+        )
+
+    def plain_kernel(dt_ref, q_ref, p_ref, a_ref, vd_ref,
+                     qo_ref, po_ref, ao_ref, vdo_ref):
+        dt = dt_ref[...]
+        half = dt * 0.5
+        refs = map(_View, (q_ref, p_ref, a_ref, vd_ref,
+                           qo_ref, po_ref, ao_ref, vdo_ref))
+        q_ref, p_ref, a_ref, vd_ref, qo_ref, po_ref, ao_ref, vdo_ref = refs
+
+        def step_once(state):
+            qs, ps, avs, vds = state
+            dq, dp, b, vd1 = increments(
+                list(qs), list(ps), list(avs), list(vds), dt, half
+            )
+            return (
+                tuple(qs[i] + dq[i] for i in range(n)),
+                tuple(ps[i] + dp[i] for i in range(n)),
+                tuple(b), tuple(vd1),
+            )
+
+        state = tuple(
+            tuple(r[i] for i in range(n))
+            for r in (q_ref, p_ref, a_ref, vd_ref)
+        )
+        qs, ps, avs, vds = _multi(step_once, state)
+        for i in range(n):
+            qo_ref[i] = qs[i]
+            po_ref[i] = ps[i]
+            ao_ref[i] = avs[i]
+            vdo_ref[i] = vds[i]
+
+    def comp_kernel(dt_ref, q_ref, p_ref, cq_ref, cp_ref, a_ref, vd_ref,
+                    qo_ref, po_ref, cqo_ref, cpo_ref, ao_ref, vdo_ref):
+        dt = dt_ref[...]
+        half = dt * 0.5
+        refs = list(map(_View, (
+            q_ref, p_ref, cq_ref, cp_ref, a_ref, vd_ref,
+            qo_ref, po_ref, cqo_ref, cpo_ref, ao_ref, vdo_ref,
+        )))
+        (q_ref, p_ref, cq_ref, cp_ref, a_ref, vd_ref,
+         qo_ref, po_ref, cqo_ref, cpo_ref, ao_ref, vdo_ref) = refs
+
+        def step_once(state):
+            qs, ps, cqs, cps, avs, vds = state
+            dq, dp, b, vd1 = increments(
+                list(qs), list(ps), list(avs), list(vds), dt, half
+            )
+            new_q, new_cq, new_p, new_cp = [], [], [], []
+            for i in range(n):
+                qi, cqi = _kahan_add(qs[i], cqs[i], dq[i])
+                pi, cpi = _kahan_add(ps[i], cps[i], dp[i])
+                new_q.append(qi)
+                new_cq.append(cqi)
+                new_p.append(pi)
+                new_cp.append(cpi)
+            return (tuple(new_q), tuple(new_p), tuple(new_cq),
+                    tuple(new_cp), tuple(b), tuple(vd1))
+
+        state = tuple(
+            tuple(r[i] for i in range(n))
+            for r in (q_ref, p_ref, cq_ref, cp_ref, a_ref, vd_ref)
+        )
+        qs, ps, cqs, cps, avs, vds = _multi(step_once, state)
+        for i in range(n):
+            qo_ref[i] = qs[i]
+            po_ref[i] = ps[i]
+            cqo_ref[i] = cqs[i]
+            cpo_ref[i] = cps[i]
+            ao_ref[i] = avs[i]
+            vdo_ref[i] = vds[i]
+
+    def _call(kernel, dt_tile, tiles):
+        g = tiles[0].shape[0]
+        vec_spec = pl.BlockSpec(
+            (1, n, 8, 128), lambda gg: (gg, gg * 0, gg * 0, gg * 0),
+            memory_space=pltpu.VMEM,
+        )
+        dt_spec = pl.BlockSpec(
+            (8, 128), lambda gg: (gg * 0, gg * 0), memory_space=pltpu.VMEM
+        )
+        n_out = len(tiles)
+        out_specs = tuple(vec_spec for _ in range(n_out))
+        out_shapes = tuple(
+            jax.ShapeDtypeStruct((g, n, 8, 128), t.dtype) for t in tiles
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[dt_spec] + [vec_spec] * n_out,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+        )(dt_tile, *tiles)
+
+    def _check(ph: Phase):
+        if ph.q.ndim != 2 or ph.q.shape[-1] != n:
+            raise ValueError(
+                f"fused serial-chain stepper needs (B, {n}) states, got "
+                f"{tuple(ph.q.shape)}"
+            )
+        if ph.q.shape[0] % TILE_B != 0:
+            raise ValueError(
+                f"fused stepper batch must be a multiple of {TILE_B}, got "
+                f"{ph.q.shape[0]} (use the library leapfrog for other shapes)"
+            )
+
+    def init(ph: Phase):
+        _check(ph)
+        qt, pt = _to_tiles(ph.q), _to_tiles(ph.p)
+        z = jnp.zeros_like(qt)
+        # trailing (a_est, vdot_est) warm-start carries, zero-initialized
+        # (≡ the cold start; see `increments`)
+        if not compensated:
+            return (qt, pt, z, z)
+        return (qt, pt, z, jnp.zeros_like(pt), z, z)
+
+    def step(carry, dt):
+        dt_tile = jnp.full((8, 128), dt, carry[0].dtype)
+        kernel = comp_kernel if compensated else plain_kernel
+        return _call(kernel, dt_tile, carry)
+
+    def extract(carry):
+        return Phase(_from_tiles(carry[0]), _from_tiles(carry[1]))
+
+    return Stepper(init, step, extract, order=2, symplectic=True,
+                   substeps=steps_per_call)

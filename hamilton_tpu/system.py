@@ -61,6 +61,7 @@ class System:
         dtdq_fn: Optional[
             Callable[[jax.Array, jax.Array], jax.Array]
         ] = None,
+        pallas_step: Optional[Callable[..., object]] = None,
     ):
         self.inertia = jnp.asarray(inertia)
         if self.inertia.ndim != 1:
@@ -75,6 +76,12 @@ class System:
         self.jacobian_fn = jacobian_fn
         self.mass_matrix_fn = mass_matrix_fn
         self.dtdq_fn = dtdq_fn
+        # Optional fused whole-step kernel factory,
+        # ``pallas_step(iters=..., compensated=...) -> Stepper`` — selected
+        # with ``method="leapfrog_fused"`` (see ops/pallas_step.py).  Static
+        # aux data: its physics constants are baked at construction and do
+        # NOT track later pytree edits of ``inertia``.
+        self.pallas_step = pallas_step
 
     # -- dimensions -----------------------------------------------------
     @property
@@ -136,11 +143,13 @@ class System:
         return (self.inertia,), (
             self.coords, self.potential, self._n, self.name,
             self.jacobian_fn, self.mass_matrix_fn, self.dtdq_fn,
+            self.pallas_step,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coords, potential, n, name, jacobian_fn, mass_matrix_fn, dtdq_fn = aux
+        (coords, potential, n, name, jacobian_fn, mass_matrix_fn, dtdq_fn,
+         pallas_step) = aux
         (inertia,) = children
         obj = cls.__new__(cls)
         obj.inertia = inertia
@@ -151,6 +160,7 @@ class System:
         obj.jacobian_fn = jacobian_fn
         obj.mass_matrix_fn = mass_matrix_fn
         obj.dtdq_fn = dtdq_fn
+        obj.pallas_step = pallas_step
         return obj
 
     def __repr__(self) -> str:
@@ -174,6 +184,7 @@ def mk_system(
     jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     mass_matrix_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     dtdq_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    pallas_step: Optional[Callable[..., object]] = None,
 ) -> System:
     """Create a system from generalized-coordinate data.
 
@@ -213,6 +224,7 @@ def mk_system(
     system = System(
         inertia, coords, potential, n=n, name=name, jacobian_fn=jacobian_fn,
         mass_matrix_fn=mass_matrix_fn, dtdq_fn=dtdq_fn,
+        pallas_step=pallas_step,
     )
     if n is not None:
         _validate_system(system, n)
@@ -295,17 +307,19 @@ def mk_system_cart(
     jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     mass_matrix_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     dtdq_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    pallas_step: Optional[Callable[..., object]] = None,
 ) -> System:
     """Create a system with the potential stated in *Cartesian* coordinates.
 
     Analog of reference ``mkSystem'`` = ``mkSystem m f (u . f)``
     (``Numeric/Hamilton.hs:238-254``).  See :func:`mk_system` for
-    ``jacobian_fn`` / ``mass_matrix_fn`` / ``dtdq_fn``.
+    ``jacobian_fn`` / ``mass_matrix_fn`` / ``dtdq_fn``; ``pallas_step``
+    attaches a fused whole-step kernel factory (ops/pallas_step.py).
     """
     system = System(
         inertia, coords, lambda q: potential_cart(coords(q)), n=n, name=name,
         jacobian_fn=jacobian_fn, mass_matrix_fn=mass_matrix_fn,
-        dtdq_fn=dtdq_fn,
+        dtdq_fn=dtdq_fn, pallas_step=pallas_step,
     )
     if n is not None:
         _validate_system(system, n)

@@ -219,6 +219,13 @@ class TestStepperRegistry:
     def test_all_methods_construct_and_step(self):
         ph0 = PEND.init_phase
         for method in FIXED_METHODS:
+            if method == "leapfrog_fused":
+                # opt-in fused kernel: systems without the closed forms
+                # refuse it (covered in tests/test_pallas_step.py)
+                assert PEND.system.pallas_step is None
+                with pytest.raises(ValueError, match="no fused step"):
+                    make_stepper(PEND.system, method)
+                continue
             st = make_stepper(PEND.system, method, iters=4, omega=10.0)
             carry = st.init(ph0)
             carry = st.step(carry, jnp.asarray(0.01))

@@ -1,0 +1,153 @@
+"""Fused whole-step serial-chain kernel (ops/pallas_step.py).
+
+Parity runs in Pallas interpreter mode on CPU against the library leapfrog
+(the AD/generic path is the correctness reference): with enough fixed-point
+iterations both sides converge to the same map, so trajectories agree to
+~1e-12 in f64.  Real-TPU exercise happens via the benchmark pipeline and the
+opt-in HAMILTON_TEST_TPU smoke tests.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from hamilton_tpu.models import chain
+from hamilton_tpu.state import Phase
+from hamilton_tpu.integrators.fixed import make_stepper
+
+B = 1024  # one register tile of members
+
+
+@pytest.fixture
+def ph4():
+    rng = np.random.default_rng(0)
+    return Phase(
+        jnp.asarray(0.5 + 0.01 * rng.standard_normal((B, 4))),
+        jnp.asarray(0.01 * rng.standard_normal((B, 4))),
+    )
+
+
+class TestFusedStep:
+    def test_matches_library_leapfrog(self, ph4):
+        """Converged fused step ≡ converged library step (exact mode)."""
+        ex = chain(n_links=4)
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(ex.system, "leapfrog", iters=(6, 4))
+        fus = make_stepper(ex.system, "leapfrog_fused", iters=(6, 4))
+        c_lib = lib.init(ph4)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.init(ph4)
+            for _ in range(5):
+                c_lib = lib.step(c_lib, dt)
+                c_fus = fus.step(c_fus, dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-12)
+
+    def test_nonuniform_masses(self):
+        ex = chain(n_links=3, masses=[2.0, 0.5, 1.5], link_length=0.7)
+        rng = np.random.default_rng(1)
+        ph = Phase(jnp.asarray(0.3 + 0.01 * rng.standard_normal((B, 3))),
+                   jnp.asarray(0.01 * rng.standard_normal((B, 3))))
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(ex.system, "leapfrog", iters=(6, 4))
+        fus = make_stepper(ex.system, "leapfrog_fused", iters=(6, 4))
+        c_lib = lib.step(lib.init(ph), dt)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.step(fus.init(ph), dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-13)
+
+    def test_multi_step_in_kernel_bitwise(self, ph4):
+        """steps_per_call=S ≡ S separate calls, bitwise, plain and Kahan."""
+        ex = chain(n_links=4)
+        dt = jnp.float64(1e-3)
+        for compensated in (False, True):
+            one = make_stepper(ex.system, "leapfrog_fused", iters=(3, 1),
+                               compensated=compensated)
+            multi = make_stepper(ex.system, "leapfrog_fused", iters=(3, 1),
+                                 compensated=compensated, steps_per_call=5)
+            assert multi.substeps == 5
+            with pltpu.force_tpu_interpret_mode():
+                c1 = one.init(ph4)
+                for _ in range(5):
+                    c1 = one.step(c1, dt)
+                c5 = multi.step(multi.init(ph4), dt)
+                a, b = one.extract(c1), multi.extract(c5)
+            np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+            np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b.p))
+
+    def test_gauss_seidel_mode_runs_and_drift_bounded(self, ph4):
+        """iters_q=0 (predictor-factor placement) stays near the exact map
+        at O(dt³) and keeps energy drift small over a short horizon."""
+        from hamilton_tpu.mechanics import hamiltonian
+
+        ex = chain(n_links=4)
+        dt = jnp.float64(1e-3)
+        gs = make_stepper(ex.system, "leapfrog_fused", iters=(2, 0))
+        with pltpu.force_tpu_interpret_mode():
+            c = gs.init(ph4)
+            for _ in range(50):
+                c = gs.step(c, dt)
+            out = gs.extract(c)
+        h0 = hamiltonian(ex.system, ph4)
+        h1 = hamiltonian(ex.system, out)
+        drift = float(jnp.max(jnp.abs((h1 - h0) / h0)))
+        assert drift < 1e-7, drift  # measured 1.2e-8 (cold-start residual)
+
+    def test_ensemble_driver_integration(self, ph4):
+        """evolve_ensemble_final with method='leapfrog_fused' + substeps>1:
+        same final state and drift as the substeps=1 run."""
+        from hamilton_tpu.ensemble import evolve_ensemble_final
+
+        ex = chain(n_links=4)
+        with pltpu.force_tpu_interpret_mode():
+            f1, d1 = evolve_ensemble_final(
+                ex.system, ph4, 1e-3, 40, method="leapfrog_fused",
+                iters=(3, 1), drift_every=20, compensated=True,
+            )
+            f2, d2 = evolve_ensemble_final(
+                ex.system, ph4, 1e-3, 40, method="leapfrog_fused",
+                iters=(3, 1), drift_every=20, compensated=True,
+                steps_per_call=10,
+            )
+        np.testing.assert_array_equal(np.asarray(f1.q), np.asarray(f2.q))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=0, atol=1e-15)
+
+    def test_validation_errors(self, ph4):
+        from hamilton_tpu.models import double_pendulum
+
+        ex = chain(n_links=4)
+        st = make_stepper(ex.system, "leapfrog_fused", iters=(3, 1))
+        with pytest.raises(ValueError, match="multiple of 1024"):
+            st.init(Phase(ph4.q[:100], ph4.p[:100]))
+        with pytest.raises(ValueError, match="needs"):
+            st.init(Phase(ph4.q[:, :3], ph4.p[:, :3]))
+        with pytest.raises(ValueError, match="iters_p"):
+            make_stepper(ex.system, "leapfrog_fused", iters=(0, 1))
+        # systems without the closed forms refuse the method
+        dp_plain = double_pendulum()
+        if dp_plain.system.pallas_step is None:
+            with pytest.raises(ValueError, match="no fused step"):
+                make_stepper(dp_plain.system, "leapfrog_fused")
+        with pytest.raises(ValueError, match="steps_per_call"):
+            make_stepper(ex.system, "leapfrog", steps_per_call=4)
+
+    def test_substeps_must_divide(self, ph4):
+        from hamilton_tpu.ensemble import evolve_ensemble_final
+
+        ex = chain(n_links=4)
+        with pytest.raises(ValueError, match="substeps"):
+            evolve_ensemble_final(
+                ex.system, ph4, 1e-3, 45, method="leapfrog_fused",
+                iters=(3, 1), drift_every=45, steps_per_call=10,
+            )

@@ -233,17 +233,29 @@ def phase_double_pendulum(args):
         )
         return system, ph
 
-    # throughput: 16k f32 on the default device
+    # throughput: 16k f32 on the default device (fused whole-step kernel,
+    # library fallback — the DP is the n=2 serial-chain family member)
     system, ph = build(args.batch, jnp.float32)
-    run = jax.jit(
-        lambda p, n: evolve_ensemble_final(
-            system, p, 1e-3, n, method="leapfrog", iters=3,
-            track_drift=False, drift_every=n,
-        )[0],
-        static_argnums=1,
-    )
+
+    def make_run(method, iters):
+        return jax.jit(
+            lambda p, n: evolve_ensemble_final(
+                system, p, 1e-3, n, method=method, iters=iters,
+                track_drift=False, drift_every=n,
+            )[0],
+            static_argnums=1,
+        )
+
     n = 10_000  # dp steps are much cheaper than chain-20; 10k suffices
-    jax.block_until_ready(run(ph, n))  # compile
+    try:
+        run = make_run("leapfrog_fused", (2, 1))
+        jax.block_until_ready(run(ph, n))  # compile
+        out["dp_method"] = "leapfrog_fused"
+    except Exception as e:  # pragma: no cover
+        out["dp_fused_fallback_error"] = f"{type(e).__name__}: {e}"[:160]
+        run = make_run("leapfrog", 3)
+        jax.block_until_ready(run(ph, n))
+        out["dp_method"] = "leapfrog"
     jax.block_until_ready(run(ph, n))  # first-execution warmup (see above)
     t0 = time.perf_counter()
     jax.block_until_ready(run(ph, n))

@@ -41,7 +41,21 @@ def double_pendulum(m1: float = 1.0, m2: float = 1.0) -> Example:
     def potential(x):
         return 5.0 * (m1 * x[1] + m2 * x[3])
 
-    system = mk_system_cart(masses, coords, potential, n=2, name="double_pendulum")
+    # fused whole-step kernel: the double pendulum is the planar serial
+    # chain with lengths (1, ½) and gravity 5 (the model's constant offset
+    # in y₂ does not enter ∇U, so the chain closed forms apply verbatim:
+    # K₁₁ = m₁+m₂, K₁₂ = ½cos(θ₁−θ₂)m₂, K₂₂ = ¼m₂)
+    from hamilton_tpu.ops.pallas_step import serial_chain_stepper
+
+    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1):
+        return serial_chain_stepper(
+            [float(m1), float(m2)], [1.0, 0.5], 5.0,
+            iters=iters, compensated=compensated,
+            steps_per_call=steps_per_call,
+        )
+
+    system = mk_system_cart(masses, coords, potential, n=2,
+                            name="double_pendulum", pallas_step=pallas_step)
 
     def draw(xs):
         return [xs[0:2], xs[2:4]]

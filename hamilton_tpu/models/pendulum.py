@@ -19,12 +19,23 @@ def pendulum(theta0: float = 0.0, omega0: float = 1.0) -> Example:
     velocity (CLI flags ``--angle``/``--vel``; the reference CLI converts the
     angle from degrees before calling, ``app/Examples.hs:391``).
     """
+    # fused whole-step kernel: the pendulum is the n=1 planar serial chain
+    # (K = 1, ∇U = sin θ — potential offsets don't enter the dynamics)
+    from hamilton_tpu.ops.pallas_step import serial_chain_stepper
+
+    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1):
+        return serial_chain_stepper(
+            [1.0], [1.0], 1.0, iters=iters, compensated=compensated,
+            steps_per_call=steps_per_call,
+        )
+
     system = mk_system_cart(
         jnp.array([1.0, 1.0]),
         lambda q: jnp.stack([jnp.sin(q[0]), 0.5 - jnp.cos(q[0])]),
         lambda x: x[1],
         n=1,
         name="pendulum",
+        pallas_step=pallas_step,
     )
 
     def draw(xs):

@@ -66,6 +66,34 @@ class TestFusedStep:
         np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
                                    rtol=0, atol=1e-13)
 
+    @pytest.mark.parametrize("model", ["pendulum", "double_pendulum"])
+    def test_family_members_match_library(self, model):
+        """Pendulum and double pendulum are the n=1 / n=2 members of the
+        serial-chain family — their attached fused kernels must reproduce
+        the library dynamics (incl. the DP's non-uniform lengths/masses)."""
+        from hamilton_tpu.models import double_pendulum, pendulum
+
+        ex = (pendulum() if model == "pendulum"
+              else double_pendulum(m1=2.0, m2=0.7))
+        n = ex.n
+        rng = np.random.default_rng(3)
+        ph = Phase(jnp.asarray(0.4 + 0.05 * rng.standard_normal((B, n))),
+                   jnp.asarray(0.05 * rng.standard_normal((B, n))))
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(ex.system, "leapfrog", iters=(6, 4))
+        fus = make_stepper(ex.system, "leapfrog_fused", iters=(6, 4))
+        c_lib = lib.init(ph)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.init(ph)
+            for _ in range(3):
+                c_lib = lib.step(c_lib, dt)
+                c_fus = fus.step(c_fus, dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-12)
+
     def test_multi_step_in_kernel_bitwise(self, ph4):
         """steps_per_call=S ≡ S separate calls, bitwise, plain and Kahan."""
         ex = chain(n_links=4)
@@ -124,7 +152,7 @@ class TestFusedStep:
                                    rtol=0, atol=1e-15)
 
     def test_validation_errors(self, ph4):
-        from hamilton_tpu.models import double_pendulum
+        from hamilton_tpu.models import spring
 
         ex = chain(n_links=4)
         st = make_stepper(ex.system, "leapfrog_fused", iters=(3, 1))
@@ -135,10 +163,10 @@ class TestFusedStep:
         with pytest.raises(ValueError, match="iters_p"):
             make_stepper(ex.system, "leapfrog_fused", iters=(0, 1))
         # systems without the closed forms refuse the method
-        dp_plain = double_pendulum()
-        if dp_plain.system.pallas_step is None:
-            with pytest.raises(ValueError, match="no fused step"):
-                make_stepper(dp_plain.system, "leapfrog_fused")
+        sp = spring()
+        assert sp.system.pallas_step is None
+        with pytest.raises(ValueError, match="no fused step"):
+            make_stepper(sp.system, "leapfrog_fused")
         with pytest.raises(ValueError, match="steps_per_call"):
             make_stepper(ex.system, "leapfrog", steps_per_call=4)
 

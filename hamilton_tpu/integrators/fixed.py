@@ -443,6 +443,7 @@ FIXED_METHODS = (
     "gauss4",
     "gauss6",
     "yoshida4",
+    "yoshida4_fused",
     "tao2",
     "tao4",
 )
@@ -481,7 +482,7 @@ def make_stepper(
             f"steps_per_call applies to 'leapfrog_fused', not {method!r}"
         )
     if isinstance(iters, tuple) and method not in (
-        "leapfrog", "leapfrog_fused", "yoshida4"
+        "leapfrog", "leapfrog_fused", "yoshida4", "yoshida4_fused"
     ):
         raise ValueError(
             f"split (iters_p, iters_q) counts apply to leapfrog/yoshida4, "
@@ -503,6 +504,20 @@ def make_stepper(
             iters=iters, compensated=compensated,
             steps_per_call=steps_per_call,
         )
+    elif method == "yoshida4_fused":
+        # 4th-order triple-jump composition of the fused kernel step (the
+        # warm-start quantities are physical, so their dt-scaling survives
+        # the sign-alternating substeps — same argument as library
+        # yoshida4).  steps_per_call stays 1: a multi-step inner kernel
+        # would compose S-substep blocks, not yoshida steps.
+        if system.pallas_step is None:
+            raise ValueError(
+                f"system {system.name!r} carries no fused step kernel "
+                f"(System.pallas_step); use method='yoshida4'"
+            )
+        lf = system.pallas_step(iters=iters, compensated=compensated)
+        return Stepper(lf.init, _triple_jump(lf.step, 2), lf.extract,
+                       order=4, symplectic=True)
     elif method == "midpoint":
         return _gauss_stepper(system, GAUSS2, iters, compensated)
     elif method == "gauss4":

@@ -296,9 +296,16 @@ def serial_chain_stepper(
         )
         n_out = len(tiles)
         out_specs = tuple(vec_spec for _ in range(n_out))
-        out_shapes = tuple(
-            jax.ShapeDtypeStruct((g, n, 8, 128), t.dtype) for t in tiles
-        )
+
+        def sds(t):
+            # propagate the varying-across-mesh-axes set so the kernel
+            # composes with shard_map (check_vma requires it on out_shape)
+            vma = getattr(jax.typeof(t), "vma", None)
+            if vma is not None:
+                return jax.ShapeDtypeStruct((g, n, 8, 128), t.dtype, vma=vma)
+            return jax.ShapeDtypeStruct((g, n, 8, 128), t.dtype)
+
+        out_shapes = tuple(sds(t) for t in tiles)
         return pl.pallas_call(
             kernel,
             grid=(g,),

@@ -217,14 +217,22 @@ class TestEnergyConservation:
 
 class TestStepperRegistry:
     def test_all_methods_construct_and_step(self):
+        from jax.experimental.pallas import tpu as pltpu
+
         ph0 = PEND.init_phase
         for method in FIXED_METHODS:
-            if method == "leapfrog_fused":
-                # opt-in fused kernel: systems without the closed forms
-                # refuse it (covered in tests/test_pallas_step.py)
-                assert PEND.system.pallas_step is None
-                with pytest.raises(ValueError, match="no fused step"):
-                    make_stepper(PEND.system, method)
+            if method.endswith("_fused"):
+                # fused kernel methods need register-tile batches and run
+                # under the interpreter on CPU (depth in test_pallas_step)
+                st = make_stepper(PEND.system, method, iters=(2, 1))
+                ph_b = Phase(jnp.tile(ph0.q, (1024, 1)),
+                             jnp.tile(ph0.p, (1024, 1)))
+                with pltpu.force_tpu_interpret_mode():
+                    carry = st.init(ph_b)
+                    carry = st.step(carry, jnp.asarray(0.01))
+                    out = st.extract(carry)
+                assert out.q.shape == ph_b.q.shape
+                assert np.all(np.isfinite(np.asarray(out.q)))
                 continue
             st = make_stepper(PEND.system, method, iters=4, omega=10.0)
             carry = st.init(ph0)

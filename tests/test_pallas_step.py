@@ -151,6 +151,56 @@ class TestFusedStep:
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                    rtol=0, atol=1e-15)
 
+    def test_yoshida4_fused_matches_library(self, ph4):
+        """Triple-jump composition of the fused step ≡ library yoshida4 at
+        converged iteration counts."""
+        ex = chain(n_links=4)
+        dt = jnp.float64(2e-3)
+        lib = make_stepper(ex.system, "yoshida4", iters=(6, 4))
+        fus = make_stepper(ex.system, "yoshida4_fused", iters=(6, 4))
+        assert fus.order == 4 and fus.symplectic
+        c_lib = lib.init(ph4)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.init(ph4)
+            for _ in range(3):
+                c_lib = lib.step(c_lib, dt)
+                c_fus = fus.step(c_fus, dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-11)
+
+    def test_sharded_fused_ensemble(self, devices8):
+        """The fused kernel composes with shard_map: 8-way ensemble
+        sharding over the virtual CPU mesh, each shard holding one register
+        tile, ≡ the unsharded run."""
+        from hamilton_tpu.ensemble import (
+            evolve_ensemble_final,
+            evolve_ensemble_sharded,
+        )
+        from hamilton_tpu.parallel import ensemble_mesh
+
+        ex = chain(n_links=3)
+        rng = np.random.default_rng(5)
+        nb = 8 * 1024
+        ph = Phase(jnp.asarray(0.4 + 0.01 * rng.standard_normal((nb, 3))),
+                   jnp.asarray(0.01 * rng.standard_normal((nb, 3))))
+        mesh = ensemble_mesh(jax.devices()[:8])
+        with pltpu.force_tpu_interpret_mode():
+            f_sh, d_sh = evolve_ensemble_sharded(
+                ex.system, ph, 1e-3, 10, mesh=mesh, method="leapfrog_fused",
+                iters=(3, 1), drift_every=10, reduce_stats="max",
+            )
+            f_un, d_un = evolve_ensemble_final(
+                ex.system, ph, 1e-3, 10, method="leapfrog_fused",
+                iters=(3, 1), drift_every=10,
+            )
+        np.testing.assert_allclose(np.asarray(f_sh.q), np.asarray(f_un.q),
+                                   rtol=0, atol=1e-14)
+        np.testing.assert_allclose(float(d_sh), float(jnp.max(d_un)),
+                                   rtol=1e-12, atol=0)
+
     def test_validation_errors(self, ph4):
         from hamilton_tpu.models import spring
 

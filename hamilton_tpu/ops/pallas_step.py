@@ -129,18 +129,23 @@ def serial_chain_stepper(
         return at
 
     def dhdq(s, c, q_unused, w):
-        """∂H/∂q = ∇U − ∂T/∂q|_w, from the trig pairs at this q."""
+        """∂H/∂q = ∇U − ∂T/∂q|_w, from the trig pairs at this q.
+
+        Dot-product form: Σ_j C_kj·sin(θk−θj)·w_j = s_k·Σ_j C_kj·(c_j·w_j)
+        − c_k·Σ_j C_kj·(s_j·w_j) — 4n²+O(n) vector ops instead of 6n²
+        (the j=k term contributes s_k·C_kk·c_k·w_k to both sums and cancels
+        exactly in real arithmetic; in floats it perturbs at the rounding
+        level, below the integrator's own f32 noise)."""
+        cw = [c[j] * w[j] for j in range(n)]
+        sw = [s[j] * w[j] for j in range(n)]
         out = []
         for k in range(n):
-            acc = None
-            for j in range(n):
-                if j == k:
-                    continue
-                pair = s[k] * c[j] - c[k] * s[j]  # sin(θk−θj)
-                t = (c_mat[k][j] * pair) * w[j]
-                acc = t if acc is None else acc + t
-            kin = w[k] * acc if acc is not None else jnp.zeros_like(w[k])
-            out.append(gu[k] * s[k] + kin)
+            acc_c = c_mat[k][0] * cw[0]
+            acc_s = c_mat[k][0] * sw[0]
+            for j in range(1, n):
+                acc_c = acc_c + c_mat[k][j] * cw[j]
+                acc_s = acc_s + c_mat[k][j] * sw[j]
+            out.append(gu[k] * s[k] + w[k] * (s[k] * acc_c - c[k] * acc_s))
         return out
 
     # reuse the unrolled tile-entry factor/solve bodies from pallas_solve

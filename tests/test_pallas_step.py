@@ -40,7 +40,7 @@ class TestFusedStep:
         c_lib = lib.init(ph4)
         with pltpu.force_tpu_interpret_mode():
             c_fus = fus.init(ph4)
-            for _ in range(5):
+            for _ in range(3):
                 c_lib = lib.step(c_lib, dt)
                 c_fus = fus.step(c_fus, dt)
             a, b = lib.extract(c_lib), fus.extract(c_fus)
@@ -139,12 +139,12 @@ class TestFusedStep:
         ex = chain(n_links=4)
         with pltpu.force_tpu_interpret_mode():
             f1, d1 = evolve_ensemble_final(
-                ex.system, ph4, 1e-3, 40, method="leapfrog_fused",
-                iters=(3, 1), drift_every=20, compensated=True,
+                ex.system, ph4, 1e-3, 20, method="leapfrog_fused",
+                iters=(3, 1), drift_every=10, compensated=True,
             )
             f2, d2 = evolve_ensemble_final(
-                ex.system, ph4, 1e-3, 40, method="leapfrog_fused",
-                iters=(3, 1), drift_every=20, compensated=True,
+                ex.system, ph4, 1e-3, 20, method="leapfrog_fused",
+                iters=(3, 1), drift_every=10, compensated=True,
                 steps_per_call=10,
             )
         np.testing.assert_array_equal(np.asarray(f1.q), np.asarray(f2.q))
@@ -200,6 +200,25 @@ class TestFusedStep:
                                    rtol=0, atol=1e-14)
         np.testing.assert_allclose(float(d_sh), float(jnp.max(d_un)),
                                    rtol=1e-12, atol=0)
+
+    def test_trajectory_emission_with_fused(self, ph4):
+        """evolve_ham_fixed's cond-guarded emission works over the fused
+        carry (emitted states ≡ the library trajectory)."""
+        from hamilton_tpu.integrators.evolve import evolve_ham_fixed
+
+        ex = chain(n_links=4)
+        with pltpu.force_tpu_interpret_mode():
+            traj_f = evolve_ham_fixed(
+                ex.system, ph4, 1e-3, 4, method="leapfrog_fused",
+                iters=(6, 4), emit_every=2,
+            )
+        traj_l = evolve_ham_fixed(
+            ex.system, ph4, 1e-3, 4, method="leapfrog",
+            iters=(6, 4), emit_every=2,
+        )
+        assert traj_f.q.shape == (3, B, 4)
+        np.testing.assert_allclose(np.asarray(traj_f.q),
+                                   np.asarray(traj_l.q), rtol=0, atol=1e-12)
 
     def test_validation_errors(self, ph4):
         from hamilton_tpu.models import spring

@@ -79,7 +79,7 @@ def phase_throughput(args):
     chunk_steps = min(args.chunk_steps, args.steps)
     n_steps = (args.steps // chunk_steps) * chunk_steps
 
-    def run(method, iters):
+    def run(method, iters, spc):
         chunk_wall = []
         t_last = [time.perf_counter()]
 
@@ -95,22 +95,25 @@ def phase_throughput(args):
                 method=method, iters=iters, compensated=True,
                 drift_every=min(1000, chunk_steps),
                 drift_dtype=jnp.float64, callback=on_chunk,
+                steps_per_call=spc,
             )
             jax.block_until_ready(final.q)
             max_drift = float(jnp.max(drift))
         return chunk_wall, max_drift
 
     # headline path: the fused whole-step kernel (method="leapfrog_fused",
-    # ops/pallas_step.py) — falls back to the generic library leapfrog if
-    # the fused path is unavailable for the config
+    # ops/pallas_step.py), multi-step blocks carrying the factor in VMEM —
+    # falls back to the generic library leapfrog if the fused path is
+    # unavailable for the config
     method, iters = args.method, args.iters
+    spc = args.steps_per_call if method == "leapfrog_fused" else 1
     fallback_error = None
     try:
-        chunk_wall, max_drift = run(method, iters)
+        chunk_wall, max_drift = run(method, iters, spc)
     except Exception as e:  # pragma: no cover
         fallback_error = f"{type(e).__name__}: {e}"[:200]
-        method, iters = "leapfrog", (2, 0)
-        chunk_wall, max_drift = run(method, iters)
+        method, iters, spc = "leapfrog", (2, 0), 1
+        chunk_wall, max_drift = run(method, iters, spc)
     steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
     el = sum(steady)
     steady_steps = chunk_steps * len(steady)
@@ -120,6 +123,7 @@ def phase_throughput(args):
         "batch": args.batch,
         "throughput_method": method,
         "throughput_iters": str(iters),
+        "throughput_steps_per_call": spc,
         "elapsed_steady_s": round(el, 3),
         "steady_chunks": len(steady),
         "chunk_steps": chunk_steps,
@@ -237,18 +241,18 @@ def phase_double_pendulum(args):
     # library fallback — the DP is the n=2 serial-chain family member)
     system, ph = build(args.batch, jnp.float32)
 
-    def make_run(method, iters):
+    def make_run(method, iters, spc=1):
         return jax.jit(
             lambda p, n: evolve_ensemble_final(
                 system, p, 1e-3, n, method=method, iters=iters,
-                track_drift=False, drift_every=n,
+                track_drift=False, drift_every=n, steps_per_call=spc,
             )[0],
             static_argnums=1,
         )
 
     n = 10_000  # dp steps are much cheaper than chain-20; 10k suffices
     try:
-        run = make_run("leapfrog_fused", (2, 1))
+        run = make_run("leapfrog_fused", (2, 1), spc=50)
         jax.block_until_ready(run(ph, n))  # compile
         out["dp_method"] = "leapfrog_fused"
     except Exception as e:  # pragma: no cover
@@ -345,13 +349,21 @@ def main(argv=None):
     def iters_arg(s):
         return tuple(int(x) for x in s.split(",")) if "," in s else int(s)
 
-    # "2,0" for the fused kernel = warm-started p-iterations + the
-    # predictor-factor q-placement: drift 4.1e-7 @2e4 f32-compensated vs
-    # 4.0e-7 for exact-mode (2,1) — both the converged level — at 13% less
-    # step time (0.116 vs 0.131 ms/step).  The library fallback reuses the
-    # same counts (its own converged point — docs/design.md "Round-2
-    # hot-loop reductions").
-    ap.add_argument("--iters", type=iters_arg, default=(2, 0))
+    # "2,1" for the fused kernel = warm-started exact iterations.  With the
+    # in-block factor carry the exact mode is the right default: its carried
+    # factor is computed at precisely the next q0 (zero staleness), holding
+    # the FULL-horizon drift at 5.6e-7 @1e5 — while Gauss-Seidel "2,0",
+    # whose carried factor is doubly stale under the carry, measured
+    # 1.3e-6 @1e5 (over the bound; fine at 2e4) for only ~15% more speed.
+    # The library fallback uses its own converged point "2,0" (no carry
+    # there — docs/design.md "Round-2 hot-loop reductions").
+    ap.add_argument("--iters", type=iters_arg, default=(2, 1))
+    # 50 steps per fused-kernel dispatch: the in-kernel loop carries the
+    # end-of-step factor/trig in VMEM, skipping the q0 factorization on all
+    # but the first step of each block (0.114 -> 0.088 ms/step; drift
+    # 3.7e-7 @2e4 — docs/design.md).  Must divide chunk_steps and
+    # drift_every.
+    ap.add_argument("--steps-per-call", type=int, default=50)
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
     ap.add_argument("--skip-drift", action="store_true")

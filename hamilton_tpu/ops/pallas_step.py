@@ -151,8 +151,22 @@ def serial_chain_stepper(
     # reuse the unrolled tile-entry factor/solve bodies from pallas_solve
     from hamilton_tpu.ops.pallas_solve import _chol_entries, _solve_entries
 
-    def increments(q0, p0, a_est, vdot_est, dt, half):
-        """Lists of (8, 128) tiles → (dq_inc, dp_inc, warm') tile lists.
+    def _pack_fac(low, inv_d, s, c):
+        """Factor+trig as a flat pytree (loop-carryable tile tuples)."""
+        flat = tuple(low[(i, j)] for i in range(n) for j in range(i + 1))
+        return (flat, tuple(inv_d), tuple(s), tuple(c))
+
+    def _unpack_fac(fac):
+        flat, inv_d, s, c = fac
+        low, k = {}, 0
+        for i in range(n):
+            for j in range(i + 1):
+                low[(i, j)] = flat[k]
+                k += 1
+        return low, list(inv_d), list(s), list(c)
+
+    def increments(q0, p0, a_est, vdot_est, dt, half, fac0=None):
+        """Lists of (8, 128) tiles → (dq_inc, dp_inc, warm', fac1) tiles.
 
         ``(a_est, vdot_est)`` warm-start the two fixed points from the
         previous step's converged force / velocity derivative, exactly as
@@ -160,9 +174,21 @@ def serial_chain_stepper(
         unchanged, only the residual after the static iteration counts
         shrinks — measured on-TPU f32 drift at 16384×chain-20, 1e4 steps:
         cold (3,1) 6.7e-7 vs warm (3,1) at the converged level (the cold
-        residual dominates the Kahan-compensated rounding floor)."""
-        s0, c0 = trig(q0)
-        low0, inv_d0 = _chol_entries(k_at(s0, c0), n)
+        residual dominates the Kahan-compensated rounding floor).
+
+        ``fac0``, when given, replaces the q₀ trig+factorization with the
+        previous step's end-of-step factor and trig (``fac1``): for
+        ``iters_q ≥ 1`` the carried factor was computed at exactly this q₀
+        (the converged q₁) so the substitution is EXACT; for ``iters_q=0``
+        it is the predictor factor, consistently stale by O(dt³) — the
+        same placement the library's Gauss-Seidel mode runs, measured at
+        converged drift.  Used inside multi-step blocks, where the carry
+        lives in VMEM (through HBM it would cost more than it saves)."""
+        if fac0 is not None:
+            low0, inv_d0, s0, c0 = _unpack_fac(fac0)
+        else:
+            s0, c0 = trig(q0)
+            low0, inv_d0 = _chol_entries(k_at(s0, c0), n)
         ph = [p0[i] - half * a_est[i] for i in range(n)]
         a_last = a_est
         for _ in range(iters_p):
@@ -184,6 +210,7 @@ def serial_chain_stepper(
             # force at the refined q1 with the predictor factor's velocity
             s1r, c1r = trig(q1)
             b = dhdq(s1r, c1r, q1, v_last)
+            fac1 = _pack_fac(low1, inv_d1, s1r, c1r)
         else:
             for _ in range(iters_q):
                 s1, c1 = trig(q1)
@@ -195,11 +222,12 @@ def serial_chain_stepper(
             low1, inv_d1 = _chol_entries(k_at(s1, c1), n)
             w1 = _solve_entries(low1, inv_d1, lambda i: ph[i], n)
             b = dhdq(s1, c1, q1, w1)
+            fac1 = _pack_fac(low1, inv_d1, s1, c1)
         dq_inc = [half * (v0[i] + v_last[i]) for i in range(n)]
         dp_inc = [-half * (a_last[i] + b[i]) for i in range(n)]
         inv_dt = 1.0 / dt
         vdot1 = [(v_last[i] - v0[i]) * inv_dt for i in range(n)]
-        return dq_inc, dp_inc, b, vdot1
+        return dq_inc, dp_inc, b, vdot1, fac1
 
     class _View:
         def __init__(self, ref):
@@ -213,12 +241,21 @@ def serial_chain_stepper(
 
     def _multi(step_once, state):
         """Run ``steps_per_call`` step bodies; the carry (a tuple of tile
-        tuples) stays in registers/VMEM across the Mosaic-level loop."""
+        tuples) stays in registers/VMEM across the Mosaic-level loop.
+
+        Step 0 is peeled (no carried factor at block entry — carrying it
+        through HBM between dispatches would cost more than it saves);
+        steps 1..S−1 run in a Mosaic-level ``fori_loop`` whose carry
+        includes the end-of-step factor+trig, so they skip the q₀
+        trig+factorization entirely."""
+        state, fac = step_once(state, None)
         if steps_per_call == 1:
-            return step_once(state)
-        return jax.lax.fori_loop(
-            0, steps_per_call, lambda i, s: step_once(s), state
+            return state
+        out = jax.lax.fori_loop(
+            0, steps_per_call - 1,
+            lambda i, sf: step_once(sf[0], sf[1]), (state, fac),
         )
+        return out[0]
 
     def plain_kernel(dt_ref, q_ref, p_ref, a_ref, vd_ref,
                      qo_ref, po_ref, ao_ref, vdo_ref):
@@ -228,16 +265,17 @@ def serial_chain_stepper(
                            qo_ref, po_ref, ao_ref, vdo_ref))
         q_ref, p_ref, a_ref, vd_ref, qo_ref, po_ref, ao_ref, vdo_ref = refs
 
-        def step_once(state):
+        def step_once(state, fac):
             qs, ps, avs, vds = state
-            dq, dp, b, vd1 = increments(
-                list(qs), list(ps), list(avs), list(vds), dt, half
+            dq, dp, b, vd1, fac1 = increments(
+                list(qs), list(ps), list(avs), list(vds), dt, half,
+                fac0=fac,
             )
             return (
                 tuple(qs[i] + dq[i] for i in range(n)),
                 tuple(ps[i] + dp[i] for i in range(n)),
                 tuple(b), tuple(vd1),
-            )
+            ), fac1
 
         state = tuple(
             tuple(r[i] for i in range(n))
@@ -261,10 +299,11 @@ def serial_chain_stepper(
         (q_ref, p_ref, cq_ref, cp_ref, a_ref, vd_ref,
          qo_ref, po_ref, cqo_ref, cpo_ref, ao_ref, vdo_ref) = refs
 
-        def step_once(state):
+        def step_once(state, fac):
             qs, ps, cqs, cps, avs, vds = state
-            dq, dp, b, vd1 = increments(
-                list(qs), list(ps), list(avs), list(vds), dt, half
+            dq, dp, b, vd1, fac1 = increments(
+                list(qs), list(ps), list(avs), list(vds), dt, half,
+                fac0=fac,
             )
             new_q, new_cq, new_p, new_cp = [], [], [], []
             for i in range(n):
@@ -275,7 +314,7 @@ def serial_chain_stepper(
                 new_p.append(pi)
                 new_cp.append(cpi)
             return (tuple(new_q), tuple(new_p), tuple(new_cq),
-                    tuple(new_cp), tuple(b), tuple(vd1))
+                    tuple(new_cp), tuple(b), tuple(vd1)), fac1
 
         state = tuple(
             tuple(r[i] for i in range(n))

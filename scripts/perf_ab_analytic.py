@@ -7,7 +7,6 @@ analytic ``mass_matrix_fn`` path (and, when present, the analytic
     python scripts/perf_ab_analytic.py [--inner 50] [--rounds 3]
 """
 import argparse
-import dataclasses
 import json
 import os
 import sys

@@ -86,3 +86,36 @@ def test_ensemble_dispatch_on_device(tpu):
     assert bool(jnp.all(jnp.isfinite(final.q)))
     # f32-exact kernels on device: drift at 100 steps is tiny
     assert float(jnp.max(drift)) < 1e-5
+
+
+def test_fused_step_kernel_on_device(tpu):
+    """The fused whole-step kernel on the real chip: 200 steps in 50-step
+    blocks with the in-VMEM factor carry, compared against the library
+    leapfrog on-device (same physics, both f32)."""
+    from hamilton_tpu.ensemble import evolve_ensemble_final
+    from hamilton_tpu.models import chain
+    from hamilton_tpu.state import Phase
+
+    ex = chain(n_links=8)
+    system = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), ex.system)
+    b = 2048
+    ph = Phase(
+        jnp.tile(ex.init_phase.q.astype(jnp.float32), (b, 1)),
+        jnp.tile(ex.init_phase.p.astype(jnp.float32), (b, 1)),
+    )
+    fused, drift_f = jax.jit(
+        lambda ph: evolve_ensemble_final(
+            system, ph, 1e-3, 200, method="leapfrog_fused", iters=(3, 1),
+            drift_every=50, steps_per_call=50,
+        )
+    )(ph)
+    lib, _ = jax.jit(
+        lambda ph: evolve_ensemble_final(
+            system, ph, 1e-3, 200, method="leapfrog", iters=(3, 1),
+            drift_every=50,
+        )
+    )(ph)
+    assert float(jnp.max(drift_f)) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(fused.q), np.asarray(lib.q), rtol=0, atol=5e-4
+    )

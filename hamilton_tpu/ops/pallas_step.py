@@ -362,7 +362,8 @@ def serial_chain_stepper(
         if ph.q.ndim != 2 or ph.q.shape[-1] != n:
             raise ValueError(
                 f"fused serial-chain stepper needs (B, {n}) states, got "
-                f"{tuple(ph.q.shape)}"
+                f"{tuple(ph.q.shape)} (single trajectories and other "
+                f"shapes: use the library leapfrog)"
             )
         if ph.q.shape[0] % TILE_B != 0:
             raise ValueError(

@@ -477,9 +477,12 @@ def make_stepper(
         one kernel dispatch (amortizes the per-dispatch launch overhead; the
         returned stepper reports it as ``.substeps``).
     """
-    if steps_per_call != 1 and method != "leapfrog_fused":
+    if steps_per_call != 1 and method not in (
+        "leapfrog_fused", "yoshida4_fused"
+    ):
         raise ValueError(
-            f"steps_per_call applies to 'leapfrog_fused', not {method!r}"
+            f"steps_per_call applies to the fused kernel methods, "
+            f"not {method!r}"
         )
     if isinstance(iters, tuple) and method not in (
         "leapfrog", "leapfrog_fused", "yoshida4", "yoshida4_fused"
@@ -505,19 +508,23 @@ def make_stepper(
             steps_per_call=steps_per_call,
         )
     elif method == "yoshida4_fused":
-        # 4th-order triple-jump composition of the fused kernel step (the
-        # warm-start quantities are physical, so their dt-scaling survives
-        # the sign-alternating substeps — same argument as library
-        # yoshida4).  steps_per_call stays 1: a multi-step inner kernel
-        # would compose S-substep blocks, not yoshida steps.
+        # 4th-order Yoshida triple jump executed INSIDE the fused kernel
+        # (the warm-start quantities are physical, so their dt-scaling
+        # survives the sign-alternating substeps — same argument as
+        # library yoshida4); composes with steps_per_call and the in-block
+        # factor carry.
         if system.pallas_step is None:
             raise ValueError(
                 f"system {system.name!r} carries no fused step kernel "
                 f"(System.pallas_step); use method='yoshida4'"
             )
-        lf = system.pallas_step(iters=iters, compensated=compensated)
-        return Stepper(lf.init, _triple_jump(lf.step, 2), lf.extract,
-                       order=4, symplectic=True)
+        from hamilton_tpu.ops.pallas_step import YOSHIDA4_COMPOSITION
+
+        return system.pallas_step(
+            iters=iters, compensated=compensated,
+            steps_per_call=steps_per_call,
+            composition=YOSHIDA4_COMPOSITION,
+        )
     elif method == "midpoint":
         return _gauss_stepper(system, GAUSS2, iters, compensated)
     elif method == "gauss4":

@@ -105,11 +105,12 @@ def chain(
 
     mass_list = [float(m) for m in masses]
 
-    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1):
+    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1,
+                    composition=(1.0,)):
         return serial_chain_stepper(
             mass_list, [link_length] * n_links, gravity,
             iters=iters, compensated=compensated,
-            steps_per_call=steps_per_call,
+            steps_per_call=steps_per_call, composition=composition,
         )
 
     system = mk_system_cart(

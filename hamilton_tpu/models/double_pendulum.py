@@ -47,11 +47,12 @@ def double_pendulum(m1: float = 1.0, m2: float = 1.0) -> Example:
     # K₁₁ = m₁+m₂, K₁₂ = ½cos(θ₁−θ₂)m₂, K₂₂ = ¼m₂)
     from hamilton_tpu.ops.pallas_step import serial_chain_stepper
 
-    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1):
+    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1,
+                    composition=(1.0,)):
         return serial_chain_stepper(
             [float(m1), float(m2)], [1.0, 0.5], 5.0,
             iters=iters, compensated=compensated,
-            steps_per_call=steps_per_call,
+            steps_per_call=steps_per_call, composition=composition,
         )
 
     system = mk_system_cart(masses, coords, potential, n=2,

@@ -23,10 +23,11 @@ def pendulum(theta0: float = 0.0, omega0: float = 1.0) -> Example:
     # (K = 1, ∇U = sin θ — potential offsets don't enter the dynamics)
     from hamilton_tpu.ops.pallas_step import serial_chain_stepper
 
-    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1):
+    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1,
+                    composition=(1.0,)):
         return serial_chain_stepper(
             [1.0], [1.0], 1.0, iters=iters, compensated=compensated,
-            steps_per_call=steps_per_call,
+            steps_per_call=steps_per_call, composition=composition,
         )
 
     system = mk_system_cart(

@@ -46,9 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hamilton_tpu.state import Phase
 
-__all__ = ["serial_chain_stepper"]
+__all__ = ["serial_chain_stepper", "YOSHIDA4_COMPOSITION"]
 
 TILE_B = 8 * 128
+
+# Yoshida/Suzuki triple jump over a symmetric order-2 base: raises to order 4
+_GAMMA = 2.0 ** (1.0 / 3.0)
+YOSHIDA4_COMPOSITION = (
+    1.0 / (2.0 - _GAMMA), -_GAMMA / (2.0 - _GAMMA), 1.0 / (2.0 - _GAMMA),
+)
 
 
 def _suffix_sums(xs):
@@ -79,6 +85,7 @@ def serial_chain_stepper(
     iters=(3, 1),
     compensated: bool = False,
     steps_per_call: int = 1,
+    composition: Sequence[float] = (1.0,),
 ):
     """Build a fused whole-step leapfrog :class:`Stepper` for a planar serial
     chain with the given per-link masses/lengths and gravity.
@@ -101,6 +108,12 @@ def serial_chain_stepper(
     already negligible there — the ~25 ms fixed cost is per *jit dispatch*
     through the device relay, which long-chunk drivers amortize anyway.
     Kept for environments where kernel-launch overhead is real.
+
+    ``composition`` is a tuple of dt-scale coefficients executed as
+    consecutive substeps *inside* each dt-step — ``(1.0,)`` is plain
+    Verlet; the Yoshida triple jump ``(w1, w0, w1)`` yields the 4th-order
+    method with the factor carried across substeps (the warm quantities
+    are physical, so their dt-scaling survives the sign alternation).
     """
     from hamilton_tpu.integrators.fixed import Stepper, _kahan_add  # no cycle
 
@@ -110,6 +123,7 @@ def serial_chain_stepper(
     iters_p, iters_q = iters if isinstance(iters, tuple) else (iters, iters)
     if iters_p < 1:
         raise ValueError("fused leapfrog needs iters_p >= 1")
+    composition = tuple(float(w) for w in composition)
     suff = _suffix_sums(masses)  # S_r
     ls = [float(l) for l in lengths]
     # K/sweep coefficient C_ij = l_i·l_j·S_max(i,j); ∇U coefficient g·l_i·S_i
@@ -267,15 +281,15 @@ def serial_chain_stepper(
 
         def step_once(state, fac):
             qs, ps, avs, vds = state
-            dq, dp, b, vd1, fac1 = increments(
-                list(qs), list(ps), list(avs), list(vds), dt, half,
-                fac0=fac,
-            )
-            return (
-                tuple(qs[i] + dq[i] for i in range(n)),
-                tuple(ps[i] + dp[i] for i in range(n)),
-                tuple(b), tuple(vd1),
-            ), fac1
+            for w in composition:
+                dq, dp, b, vd1, fac = increments(
+                    list(qs), list(ps), list(avs), list(vds),
+                    w * dt, w * half, fac0=fac,
+                )
+                qs = tuple(qs[i] + dq[i] for i in range(n))
+                ps = tuple(ps[i] + dp[i] for i in range(n))
+                avs, vds = tuple(b), tuple(vd1)
+            return (qs, ps, avs, vds), fac
 
         state = tuple(
             tuple(r[i] for i in range(n))
@@ -301,20 +315,23 @@ def serial_chain_stepper(
 
         def step_once(state, fac):
             qs, ps, cqs, cps, avs, vds = state
-            dq, dp, b, vd1, fac1 = increments(
-                list(qs), list(ps), list(avs), list(vds), dt, half,
-                fac0=fac,
-            )
-            new_q, new_cq, new_p, new_cp = [], [], [], []
-            for i in range(n):
-                qi, cqi = _kahan_add(qs[i], cqs[i], dq[i])
-                pi, cpi = _kahan_add(ps[i], cps[i], dp[i])
-                new_q.append(qi)
-                new_cq.append(cqi)
-                new_p.append(pi)
-                new_cp.append(cpi)
-            return (tuple(new_q), tuple(new_p), tuple(new_cq),
-                    tuple(new_cp), tuple(b), tuple(vd1)), fac1
+            for w in composition:
+                dq, dp, b, vd1, fac = increments(
+                    list(qs), list(ps), list(avs), list(vds),
+                    w * dt, w * half, fac0=fac,
+                )
+                new_q, new_cq, new_p, new_cp = [], [], [], []
+                for i in range(n):
+                    qi, cqi = _kahan_add(qs[i], cqs[i], dq[i])
+                    pi, cpi = _kahan_add(ps[i], cps[i], dp[i])
+                    new_q.append(qi)
+                    new_cq.append(cqi)
+                    new_p.append(pi)
+                    new_cp.append(cpi)
+                qs, ps = tuple(new_q), tuple(new_p)
+                cqs, cps = tuple(new_cq), tuple(new_cp)
+                avs, vds = tuple(b), tuple(vd1)
+            return (qs, ps, cqs, cps, avs, vds), fac
 
         state = tuple(
             tuple(r[i] for i in range(n))
@@ -389,5 +406,6 @@ def serial_chain_stepper(
     def extract(carry):
         return Phase(_from_tiles(carry[0]), _from_tiles(carry[1]))
 
-    return Stepper(init, step, extract, order=2, symplectic=True,
+    order = 2 if composition == (1.0,) else 4  # triple jump raises by 2
+    return Stepper(init, step, extract, order=order, symplectic=True,
                    substeps=steps_per_call)

@@ -183,6 +183,14 @@ class TestFusedStep:
                                    rtol=0, atol=1e-11)
         np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
                                    rtol=0, atol=1e-11)
+        # composition runs in-kernel, so it stacks with multi-step blocks:
+        # exact mode stays bitwise vs single calls
+        multi = make_stepper(ex.system, "yoshida4_fused", iters=(6, 4),
+                             steps_per_call=3)
+        with pltpu.force_tpu_interpret_mode():
+            cm = multi.step(multi.init(ph4), dt)
+            m = multi.extract(cm)
+        np.testing.assert_array_equal(np.asarray(m.q), np.asarray(b.q))
 
     def test_sharded_fused_ensemble(self, devices8):
         """The fused kernel composes with shard_map: 8-way ensemble

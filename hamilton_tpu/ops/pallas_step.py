@@ -398,10 +398,32 @@ def serial_chain_stepper(
             return (qt, pt, z, z)
         return (qt, pt, z, jnp.zeros_like(pt), z, z)
 
+    # Forward-only, explicitly: the whole step is one opaque kernel with no
+    # adjoint rule, and a silently-wrong or implicit-function-theorem
+    # gradient would be worse than none.  custom_vjp's fwd only runs under
+    # differentiation, so the primal path is untouched and the user gets a
+    # clear error instead of Pallas linearization internals.
+    @jax.custom_vjp
+    def _kernel_step(dt_tile, *tiles):
+        kernel = comp_kernel if compensated else plain_kernel
+        return _call(kernel, dt_tile, tiles)
+
+    def _kernel_step_fwd(dt_tile, *tiles):
+        raise NotImplementedError(
+            "the fused step kernels (method='leapfrog_fused'/"
+            "'yoshida4_fused') are forward-only; to differentiate through "
+            "trajectories use the library methods (e.g. method='leapfrog'),"
+            " which are differentiable end to end"
+        )
+
+    def _kernel_step_bwd(res, g):  # pragma: no cover - fwd already raises
+        raise NotImplementedError("fused step kernels are forward-only")
+
+    _kernel_step.defvjp(_kernel_step_fwd, _kernel_step_bwd)
+
     def step(carry, dt):
         dt_tile = jnp.full((8, 128), dt, carry[0].dtype)
-        kernel = comp_kernel if compensated else plain_kernel
-        return _call(kernel, dt_tile, carry)
+        return _kernel_step(dt_tile, *carry)
 
     def extract(carry):
         return Phase(_from_tiles(carry[0]), _from_tiles(carry[1]))

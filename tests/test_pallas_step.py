@@ -260,6 +260,23 @@ class TestFusedStep:
         with pytest.raises(ValueError, match="steps_per_call"):
             make_stepper(ex.system, "leapfrog", steps_per_call=4)
 
+    def test_forward_only_clean_error(self, ph4):
+        """jax.grad through the fused step raises an informative
+        NotImplementedError (the library methods are the differentiable
+        path), while the primal path is untouched."""
+        ex = chain(n_links=4)
+        st = make_stepper(ex.system, "leapfrog_fused", iters=(2, 1))
+
+        def loss(q0):
+            c = st.init(Phase(q0, ph4.p))
+            c = st.step(c, jnp.float64(1e-3))
+            return jnp.sum(st.extract(c).q)
+
+        with pltpu.force_tpu_interpret_mode():
+            assert np.isfinite(float(loss(ph4.q)))
+            with pytest.raises(NotImplementedError, match="forward-only"):
+                jax.grad(loss)(ph4.q)
+
     def test_substeps_must_divide(self, ph4):
         from hamilton_tpu.ensemble import evolve_ensemble_final
 

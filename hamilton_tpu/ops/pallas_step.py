@@ -103,11 +103,13 @@ def serial_chain_stepper(
     kernel invocation (a Mosaic-level ``fori_loop`` whose carry lives in
     registers/VMEM), and the resulting ``Stepper`` reports it as
     ``.substeps`` so evolution drivers keep step counts and drift-sampling
-    cadence aligned.  Measured NEUTRAL on the target TPU (0.250 vs 0.254
-    ms/step at 16384×20): per-kernel-call cost inside a compiled loop is
-    already negligible there — the ~25 ms fixed cost is per *jit dispatch*
-    through the device relay, which long-chunk drivers amortize anyway.
-    Kept for environments where kernel-launch overhead is real.
+    cadence aligned.  Its value comes from the **factor carry**: steps
+    1..S−1 of a block skip the q₀ trig+factorization entirely (see
+    ``increments``), measured 0.114 → 0.088 ms/step at 16384×chain-20 with
+    S=50.  (Raw per-kernel-call launch cost inside a compiled loop is
+    negligible on this backend — the ~25 ms fixed cost is per *jit
+    dispatch* through the device relay, which long-chunk drivers
+    amortize.)
 
     ``composition`` is a tuple of dt-scale coefficients executed as
     consecutive substeps *inside* each dt-step — ``(1.0,)`` is plain

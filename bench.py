@@ -13,12 +13,15 @@ Prints exactly ONE JSON line:
 
 Phases (each independently fault-tolerant; f32 accelerator phases run
 before the f64 attempt because a faulted f64 dispatch poisons the device):
-  1. TPU f32 chain-20 ensemble, FULL 1e5-step horizon (symplectic leapfrog,
-     factor-cached, Kahan-compensated, float32 matmul precision), executed
-     as chunked dispatches — the headline throughput AND the on-TPU
-     max|ΔH/H₀| (measured in f64 every 1000 steps during the same run).
-  2. Double-pendulum north-star config: 16k-member f32 throughput plus the
-     FULL 1e5-step f64 gauss4 drift (cheap at n=2) on the host.
+  1. TPU f32 chain-20 ensemble, FULL 1e5-step horizon: the fused
+     whole-step Pallas kernel (``leapfrog_fused``, warm-started exact
+     fixed points, Kahan-compensated, 50-step in-VMEM factor-carry
+     blocks; library-leapfrog fallback), executed as chunked dispatches —
+     the headline throughput AND the on-TPU max|ΔH/H₀| (measured in f64
+     every 1000 steps during the same run).
+  2. Double-pendulum north-star config: 16k-member f32 throughput (fused
+     kernel, library fallback) plus the FULL 1e5-step f64 gauss4 drift
+     (cheap at n=2) on the host.
   3. Chain-20 f64 gauss4 drift, capped horizon (bounded oscillation), with
      a budget probe and host fallback around the TPU's emulated f64.
   4. Single-trajectory CPU baselines: jax-CPU and the native C++ engine;

@@ -208,6 +208,9 @@ def evolve_ensemble_chunked(
     drift_dtype=None,
     callback=None,
     steps_per_call: int = 1,
+    carry_callback=None,
+    initial_carry=None,
+    initial_drift: Optional[jax.Array] = None,
 ) -> Tuple[Phase, Optional[jax.Array]]:
     """Like :func:`evolve_ensemble_final`, but the horizon is executed as
     ``n_steps // chunk_steps`` separate device dispatches of one compiled
@@ -226,6 +229,16 @@ def evolve_ensemble_chunked(
     each chunk (it blocks on the chunk's results; return value ignored).
     ``chunk_steps`` must divide ``n_steps`` and be a multiple of
     ``drift_every`` (so drift sampling stays globally aligned).
+
+    **Exact resume:** a :class:`Phase` alone cannot bitwise-resume a run —
+    the integrator carry also holds the Kahan compensation residuals, the
+    warm-start estimates, and any cached factor.  ``carry_callback(ci,
+    carry, drift)`` receives the RAW carry after each chunk (a pytree of
+    arrays — checkpoint it with :mod:`hamilton_tpu.utils.checkpoint`), and
+    ``initial_carry``/``initial_drift`` restart from one: the continuation
+    is bitwise identical to the uninterrupted run (tested).  ``phase0`` is
+    still required for the drift reference H₀ (pass the ORIGINAL run's
+    initial phase, not the resume point).
     """
     if n_steps % chunk_steps != 0:
         raise ValueError(f"{n_steps=} not divisible by {chunk_steps=}")
@@ -247,12 +260,16 @@ def evolve_ensemble_chunked(
     def chunk(carry, drift):
         return jax.lax.fori_loop(0, chunk_steps // sub, body, (carry, drift))
 
-    carry, drift = carry0, jnp.zeros_like(h0)
+    carry = carry0 if initial_carry is None else initial_carry
+    drift = jnp.zeros_like(h0) if initial_drift is None else initial_drift
     for ci in range(n_steps // chunk_steps):
         carry, drift = chunk(carry, drift)
         if callback is not None:
             jax.block_until_ready(drift)
             callback(ci, stepper.extract(carry), drift)
+        if carry_callback is not None:
+            jax.block_until_ready(drift)
+            carry_callback(ci, carry, drift)
     final = stepper.extract(carry)
     return final, (drift if track_drift else None)
 

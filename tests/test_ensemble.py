@@ -292,3 +292,32 @@ class TestChunked:
             evolve_ensemble_chunked(
                 DP.system, ph, 1e-3, 20, chunk_steps=10, drift_every=4
             )
+
+    def test_chunked_exact_resume_via_carry(self):
+        """carry_callback + initial_carry/initial_drift resume a chunked
+        run bitwise (a Phase alone loses the Kahan residuals and warm
+        state — the raw carry is the full checkpointable state)."""
+        from hamilton_tpu.ensemble import evolve_ensemble_chunked
+
+        ph = make_batch(4)
+        common = dict(
+            method="leapfrog", iters=(2, 0), compensated=True,
+            drift_every=5,
+        )
+        f_full, d_full = evolve_ensemble_chunked(
+            DP.system, ph, 1e-3, 40, chunk_steps=10, **common
+        )
+        saved = {}
+        evolve_ensemble_chunked(
+            DP.system, ph, 1e-3, 20, chunk_steps=10, **common,
+            carry_callback=lambda ci, carry, drift: saved.update(
+                carry=carry, drift=drift
+            ),
+        )
+        f_res, d_res = evolve_ensemble_chunked(
+            DP.system, ph, 1e-3, 20, chunk_steps=10, **common,
+            initial_carry=saved["carry"], initial_drift=saved["drift"],
+        )
+        np.testing.assert_array_equal(np.asarray(f_full.q), np.asarray(f_res.q))
+        np.testing.assert_array_equal(np.asarray(f_full.p), np.asarray(f_res.p))
+        np.testing.assert_array_equal(np.asarray(d_full), np.asarray(d_res))

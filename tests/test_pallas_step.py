@@ -260,6 +260,30 @@ class TestFusedStep:
         with pytest.raises(ValueError, match="steps_per_call"):
             make_stepper(ex.system, "leapfrog", steps_per_call=4)
 
+    def test_chunked_exact_resume_with_fused_carry(self, ph4):
+        """The fused tile carry checkpoints/resumes bitwise through the
+        chunked driver's carry handoff."""
+        from hamilton_tpu.ensemble import evolve_ensemble_chunked
+
+        ex = chain(n_links=4)
+        common = dict(method="leapfrog_fused", iters=(2, 1),
+                      compensated=True, drift_every=10, steps_per_call=10)
+        with pltpu.force_tpu_interpret_mode():
+            f_full, d_full = evolve_ensemble_chunked(
+                ex.system, ph4, 1e-3, 40, chunk_steps=20, **common
+            )
+            saved = {}
+            evolve_ensemble_chunked(
+                ex.system, ph4, 1e-3, 20, chunk_steps=20, **common,
+                carry_callback=lambda ci, c, d: saved.update(carry=c, drift=d),
+            )
+            f_res, d_res = evolve_ensemble_chunked(
+                ex.system, ph4, 1e-3, 20, chunk_steps=20, **common,
+                initial_carry=saved["carry"], initial_drift=saved["drift"],
+            )
+        np.testing.assert_array_equal(np.asarray(f_full.q), np.asarray(f_res.q))
+        np.testing.assert_array_equal(np.asarray(d_full), np.asarray(d_res))
+
     def test_forward_only_clean_error(self, ph4):
         """jax.grad through the fused step raises an informative
         NotImplementedError (the library methods are the differentiable

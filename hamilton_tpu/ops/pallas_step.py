@@ -21,9 +21,11 @@ with ``S_r = Σ_{k≥r} m_k`` the suffix mass sums.  All pairwise
 identities — vector FMAs, not transcendentals.  The kernel keeps the whole
 step in registers/VMEM (batch-in-registers layout, one (8, 128) tile per
 scalar — see pallas_solve.py); per step the only HBM traffic is the (B, n)
-state in and out.  Because an in-register factorization is ~free, the kernel
-runs *exact* fixed-point iterations (fresh factor at q₀ and at each q₁
-iterate) — no stale-factor Gauss-Seidel tricks, no warm-start carries.
+state in and out.  The fixed points are warm-started from the previous
+step's converged force/velocity-derivative (carried tiles), and inside
+``steps_per_call`` blocks the end-of-step factor+trig ride the Mosaic loop
+carry so only the first step of a block pays the q₀ factorization (exact
+for ``iters_q ≥ 1``; see ``increments``).
 
 The evolution state stays in tile layout **across steps** (the Stepper carry
 is the tiled state), so chained steps move no layout at all; ``extract`` is

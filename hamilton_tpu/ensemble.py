@@ -57,13 +57,25 @@ def evolve_ensemble(
     """Evolve a batch of initial conditions with a fixed-step integrator.
 
     ``phase0`` carries one leading batch axis; the result has axes
-    ``(time, batch, n)``.  With ``system_batched=True`` the system's inertia
-    vector also carries a leading batch axis (mass/parameter sweeps) — the
-    coordinate/potential functions stay shared.
+    ``(time, batch, n)``.
+
+    **Parameter sweeps**: a system whose ``params`` leaves carry a leading
+    batch axis matching the phase batch (:meth:`System.replace_params`)
+    evolves with per-member physics on the SAME native-batch hot path as a
+    shared system — the mechanics pair the params member-wise with the
+    trailing state batch axis, the tile-resident Pallas solves still engage,
+    and the fused kernel takes per-member coefficient tiles.  This is the
+    (IC × parameter)-grid workhorse; no flag needed.
+
+    ``system_batched=True`` is the legacy explicit-vmap path for systems
+    whose per-member variation lives in the *inertia leaf* rather than
+    ``params`` (e.g. hand-built systems without a params pytree): the whole
+    evolution is vmapped over the system's leaves, so the dynamics trace
+    unbatched and the tile kernels cannot engage (slow; fine for moderate
+    sweep sizes).  Do NOT use it for bundled params-carrying models — batch
+    their ``params`` instead.
     """
     if system_batched:
-        # inertia sweeps need per-member system leaves → vmap path (the
-        # dynamics then trace unbatched; fine for moderate sweep sizes)
         fn = partial(
             evolve_ham_fixed, dt=dt, n_steps=n_steps, method=method,
             emit_every=emit_every, iters=iters, omega=omega,
@@ -72,8 +84,9 @@ def evolve_ensemble(
         sys_axes = jax.tree_util.tree_map(lambda _: 0, system)
         out = jax.vmap(fn, in_axes=(sys_axes, 0))(system, phase0)
         return Phase(jnp.swapaxes(out.q, 0, 1), jnp.swapaxes(out.p, 0, 1))
-    # shared system: the batch axis stays native, so the mechanics route the
-    # per-step SPD solves to the Pallas ensemble kernels on TPU
+    # shared system OR batched-params sweep: the batch axis stays native, so
+    # the mechanics route the per-step SPD solves to the Pallas ensemble
+    # kernels on TPU (with per-member params aligned member-wise)
     return evolve_ham_fixed(
         system, phase0, dt, n_steps, method=method, emit_every=emit_every,
         iters=iters, omega=omega, compensated=compensated,
@@ -307,11 +320,40 @@ def evolve_ensemble_sharded(
     scalar when ``reduce_stats`` is set, else per-member).
 
     The batch size must be divisible by the mesh axis size.
+
+    **Batched params** (parameter sweeps): when the system's ``params``
+    leaves carry a leading batch axis (``System.replace_params``), that axis
+    is sharded over the same mesh axis as the phase batch — each device gets
+    its members' parameters; everything else about the system is replicated.
     """
     n_shards = mesh.shape[axis]
     batch = phase0.q.shape[0]
     if batch % n_shards != 0:
         raise ValueError(f"batch {batch} not divisible by mesh axis {axis}={n_shards}")
+    pb = system.param_batch_ndim()
+    if pb == 0:
+        system_spec = P()
+    elif pb == 1:
+        # per-leaf spec pytree with the System's own structure: params
+        # leaves shard their leading (member) axis along the ensemble mesh
+        # axis; the inertia leaf (if any) stays replicated
+        children, _aux = system.tree_flatten()
+        inertia_leaf, params = children
+        spec_children = (
+            jax.tree_util.tree_map(lambda _: P(), inertia_leaf),
+            jax.tree_util.tree_map(lambda _: P(axis), params),
+        )
+        system_spec = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(system),
+            jax.tree_util.tree_leaves(
+                spec_children, is_leaf=lambda x: isinstance(x, P)
+            ),
+        )
+    else:
+        raise ValueError(
+            f"sharded parameter sweeps support one params batch axis, "
+            f"got {pb}"
+        )
 
     if emit_every is not None:
 
@@ -325,7 +367,7 @@ def evolve_ensemble_sharded(
         return jax.shard_map(
             local_traj,
             mesh=mesh,
-            in_specs=(P(), P(axis)),
+            in_specs=(system_spec, P(axis)),
             out_specs=P(None, axis),
         )(system, phase0)
 
@@ -350,7 +392,7 @@ def evolve_ensemble_sharded(
     final, drift = jax.shard_map(
         local_final,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
+        in_specs=(system_spec, P(axis)),
         out_specs=(P(axis), drift_spec),
     )(system, phase0)
     return final, (drift if track_drift else None)

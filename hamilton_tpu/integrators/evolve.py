@@ -251,7 +251,7 @@ def evolve_ham_c(system: System, config0: Config, ts, **kwargs) -> Config:
     Returns a batched :class:`Config` with leading time axis.
     """
     out = evolve_ham(system, to_phase(system, config0), ts, **kwargs)
-    return jax.vmap(lambda ph: from_phase(system, ph))(out)
+    return from_phase(system, out)  # batch-aware over the leading time axis
 
 
 def evolve_ham_c_list(

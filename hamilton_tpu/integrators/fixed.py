@@ -132,6 +132,12 @@ def _gauss_stepper(
 ) -> Stepper:
     rhs = _rhs(system)
     s = tab.stages
+    # Folding the s stages into the batch axis keeps the ensemble batch
+    # visible to the Pallas solve kernels — but it breaks the trailing
+    # alignment between state batch axes and params batch axes, so with
+    # BATCHED params the stages stay a leading axis instead (the mechanics
+    # map params over the trailing ensemble axis and broadcast over stages).
+    fold_stages = system.param_batch_ndim() == 0
 
     def step(ph: Phase, dt, comp: "Phase | None" = None):
         # Stage derivatives F_i, fixed-point iterated:
@@ -161,6 +167,9 @@ def _gauss_stepper(
             fq, fp = fs
             qi = ph.q + dt * stage_combine(a_mat, fq)  # (s, ..., n)
             pi = ph.p + dt * stage_combine(a_mat, fp)
+            if not fold_stages:
+                dq, dp = ham_eqs(system, Phase(qi, pi))
+                return dq, dp
             # fold stages into the batch: (s, ..., n) → (s·B, n)
             qf = qi.reshape((-1, n))
             pf = pi.reshape((-1, n))
@@ -238,6 +247,13 @@ def _leapfrog_stepper(
     # q-loop iteration pays a fresh form-K+factor+solve, so the ensemble hot
     # loop benefits from spending iterations asymmetrically.
     iters_p, iters_q = iters if isinstance(iters, tuple) else (iters, iters)
+    if iters_p < 1:
+        raise ValueError(f"leapfrog needs iters_p >= 1, got {iters_p}")
+    if iters_q < 0:
+        raise ValueError(
+            f"iters_q must be >= 0 (0 selects the Gauss-Seidel predictor-"
+            f"factor mode), got {iters_q}"
+        )
 
     def hp_fresh(q, p):
         """q̇ at a fresh q (inside the q-loop; needs its own factorization
@@ -504,7 +520,7 @@ def make_stepper(
                 f"(System.pallas_step); use method='leapfrog'"
             )
         return system.pallas_step(
-            iters=iters, compensated=compensated,
+            system, iters=iters, compensated=compensated,
             steps_per_call=steps_per_call,
         )
     elif method == "yoshida4_fused":
@@ -521,7 +537,7 @@ def make_stepper(
         from hamilton_tpu.ops.pallas_step import YOSHIDA4_COMPOSITION
 
         return system.pallas_step(
-            iters=iters, compensated=compensated,
+            system, iters=iters, compensated=compensated,
             steps_per_call=steps_per_call,
             composition=YOSHIDA4_COMPOSITION,
         )

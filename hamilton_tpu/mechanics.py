@@ -58,6 +58,51 @@ def _vmap_leading(fn, ndim: int):
     return fn
 
 
+def _map_member(system: System, fn, *args):
+    """Map a member-level ``fn(*member_args, params)`` over the leading batch
+    axes of ``args`` (each ``(..., n)``-shaped, batch shapes equal).
+
+    This is THE params-batching primitive: when the system's ``params``
+    leaves carry ``pb`` extra batch axes (:meth:`System.param_batch_ndim`),
+    those axes align with the **trailing** ``pb`` batch axes of the state —
+    an ensemble ``q: (B, n)`` pairs member-wise with ``(B, ...)``-batched
+    params, while extra *leading* state axes (time, integrator stages) map
+    with params held fixed.  For unbatched/absent params this reduces to the
+    plain leading-axis vmap (``fn`` then receives ``params=None`` for
+    legacy systems).
+    """
+    nd = args[0].ndim - 1
+    if system.params is None:
+        g = lambda *a: fn(*a, None)  # noqa: E731
+        for _ in range(nd):
+            g = jax.vmap(g)
+        return g(*args)
+    pb = system.param_batch_ndim()
+    if pb > nd:
+        raise ValueError(
+            f"params carry {pb} batch axes but the state has only {nd} "
+            f"batch axes; batched params must align with the trailing "
+            f"state batch axes (state {args[0].shape})"
+        )
+
+    def g(params, *a):
+        return fn(*a, params)
+
+    for _ in range(pb):  # innermost: member axes, params mapped jointly
+        g = jax.vmap(g)
+    for _ in range(nd - pb):  # outer axes (time/stages): params held fixed
+        g = jax.vmap(g, in_axes=(None,) + (0,) * len(args))
+    return g(system.params, *args)
+
+
+def _mass_matrix_member(system: System):
+    """Member-level ``(q, params) -> K`` from the analytic override."""
+    fn = system.mass_matrix_fn
+    if system.has_params:
+        return fn
+    return lambda q, _p: fn(q)
+
+
 def _tiles_ok(q: jax.Array) -> bool:
     """Route this call through the tile-resident Pallas hot path?  True for a
     native single batch axis whose size is a register-tile multiple on a
@@ -85,7 +130,7 @@ def _jac_solve(system: System, j: jax.Array, b: jax.Array) -> jax.Array:
     )
 
     m, n = j.shape[-2], j.shape[-1]
-    jt = jac_tiles(j, system.inertia)
+    jt = jac_tiles(j, system.inertia)  # batched inertia broadcasts in
     return from_vec_tiles(spd_solve_jac_tiles(jt, to_vec_tiles(b), n, m))
 
 
@@ -100,13 +145,15 @@ def _k_solve_tiles(system: System, q: jax.Array, b: jax.Array) -> jax.Array:
         to_vec_tiles,
     )
 
-    k_mat = _vmap_leading(system.mass_matrix_fn, q.ndim - 1)(q)
+    k_mat = _map_member(system, _mass_matrix_member(system), q)
     return from_vec_tiles(spd_solve_tiles(_to_tiles(k_mat, 2), to_vec_tiles(b)))
 
 
 def _jacobian(system: System, q: jax.Array) -> jax.Array:
     """J(q) with leading batch axes: (..., m, n)."""
-    return _vmap_leading(system.jacobian, q.ndim - 1)(q)
+    return _map_member(
+        system, lambda qq, pp: system.jacobian(qq, params=pp), q
+    )
 
 
 # Contractions as explicit multiply+reduce: exact f32 on the VPU, never
@@ -131,19 +178,28 @@ def _tmv(a: jax.Array, u: jax.Array) -> jax.Array:
 
 
 def _form_k(j: jax.Array, inertia: jax.Array) -> jax.Array:
-    """``K = JᵀMJ`` (..., n, n) from J (..., m, n)."""
+    """``K = JᵀMJ`` (..., n, n) from J (..., m, n).  ``inertia`` may carry
+    leading batch axes (derived from batched params) — they broadcast against
+    J's batch axes (trailing-aligned, like everything params-batched)."""
     m, n = j.shape[-2], j.shape[-1]
     if m * n * n <= _K_MULSUM_LIMIT:
         jm = j * inertia[..., :, None]
         return jnp.sum(jm[..., :, :, None] * j[..., :, None, :], axis=-3)
+    if inertia.ndim == 1:
+        return jnp.einsum(
+            "...mi,m,...mj->...ij", j, inertia, j,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    jm = j * inertia[..., :, None]
     return jnp.einsum(
-        "...mi,m,...mj->...ij", j, inertia, j,
-        precision=jax.lax.Precision.HIGHEST,
+        "...mi,...mj->...ij", jm, j, precision=jax.lax.Precision.HIGHEST
     )
 
 
 def _grad_u(system: System, q: jax.Array) -> jax.Array:
-    return _vmap_leading(system.potential_grad, q.ndim - 1)(q)
+    return _map_member(
+        system, lambda qq, pp: system.potential_grad(qq, params=pp), q
+    )
 
 
 def mass_matrix(system: System, q: jax.Array) -> jax.Array:
@@ -155,7 +211,7 @@ def mass_matrix(system: System, q: jax.Array) -> jax.Array:
     on the system replaces the Jacobian contraction entirely.
     """
     if system.mass_matrix_fn is not None:
-        return _vmap_leading(system.mass_matrix_fn, jnp.asarray(q).ndim - 1)(q)
+        return _map_member(system, _mass_matrix_member(system), jnp.asarray(q))
     j = _jacobian(system, q)
     return _form_k(j, system.inertia)
 
@@ -197,7 +253,10 @@ def from_phase(system: System, phase: Phase) -> Config:
 def pe(system: System, q: jax.Array) -> jax.Array:
     """Potential energy ``U(q)`` (reference ``pe``,
     ``Numeric/Hamilton.hs:182-186``); shape ``(...)`` for ``q (..., n)``."""
-    return _vmap_leading(system.potential_value, jnp.asarray(q).ndim - 1)(q)
+    return _map_member(
+        system, lambda qq, pp: system.potential_value(qq, params=pp),
+        jnp.asarray(q),
+    )
 
 
 def ke_c(system: System, config: Config) -> jax.Array:
@@ -239,21 +298,27 @@ def _dtdq(system: System, q: jax.Array, w: jax.Array) -> jax.Array:
     # NOTE the sign: this function returns the KINETIC PART OF ∂H/∂q, which
     # is −∂T/∂q|_w (Legendre identity), hence the negation of the override.
     if system.dtdq_fn is not None:
-        return -_vmap_leading(system.dtdq_fn, q.ndim - 1)(q, w)
+        fn = system.dtdq_fn
+        if system.has_params:
+            return -_map_member(system, fn, q, w)
+        return -_map_member(system, lambda qq, ww, _p: fn(qq, ww), q, w)
 
     # NOTE: even when the system carries an analytic ``mass_matrix_fn``, this
     # sweep stays on the coords linearization — ∂T/∂q = −½wᵀ(∂K/∂q)w via
     # reverse AD through K was measured SLOWER on TPU (1.50 vs 1.00 ms/step,
     # 16384×chain-20): its cotangent is a (B, n, n) array per call, while the
     # coords sweep's activations are (B, m)-sized.
-    def one(qi, wi):
+    def one(qi, wi, pp):
+        coords1 = system.coords_bound(pp)
+        inert = system.inertia_of(pp)
+
         def jw(qq):
-            return jax.jvp(system.coords, (qq,), (wi,))[1]
+            return jax.jvp(coords1, (qq,), (wi,))[1]
 
         jw_val, vjp_fn = jax.vjp(jw, qi)
-        return -vjp_fn(system.inertia * jw_val)[0]
+        return -vjp_fn(inert * jw_val)[0]
 
-    return _vmap_leading(one, q.ndim - 1)(q, w)
+    return _map_member(system, one, q, w)
 
 
 def ham_eqs(system: System, phase: Phase) -> Tuple[jax.Array, jax.Array]:

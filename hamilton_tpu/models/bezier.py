@@ -48,21 +48,29 @@ def bezier(points: Sequence[Tuple[float, float]] = DEFAULT_POINTS) -> Example:
     """Particle on a Bézier curve with parameter-clamp logistic walls at
     ``t = 0`` and ``t = 1`` (``app/Examples.hs:176-179``).  Initial state
     ``t = 0.5``, ``ṫ = 0.25`` (``:183``)."""
-    pts = tuple(tuple(float(c) for c in p) for p in points)
-    if len(pts) < 1:
-        raise ValueError("bezier requires at least one control point")
+    pts = jnp.asarray(points, dtype=jnp.result_type(float))
+    if pts.ndim != 2 or pts.shape[0] < 1 or pts.shape[1] != 2:
+        raise ValueError(
+            f"bezier requires a (k, 2) control-point array with k >= 1, "
+            f"got shape {tuple(pts.shape)}"
+        )
     left = logistic(0.0, 5.0, 0.05)
     right = logistic(1.0, 5.0, 0.05)
+    # the control points are the model's physics parameters (the reference
+    # takes them at the CLI, app/Examples.hs:344-350) — in the params pytree
+    # they are sweepable/differentiable like every other parameter
+    params = {"points": pts}
 
-    def coords(q):
-        return bezier_curve(pts, q[0])
+    def coords(q, p):
+        return bezier_curve(p["points"].astype(q.dtype), q[0])
 
-    def potential(q):
+    def potential(q, p):
         t = q[0]
         return (1.0 - left(t)) + right(t)
 
     system = mk_system(
-        jnp.array([1.0, 1.0]), coords, potential, n=1, name="bezier"
+        jnp.array([1.0, 1.0]), coords, potential, n=1, name="bezier",
+        params=params,
     )
 
     def draw(xs):

@@ -6,6 +6,14 @@ link ``i−1``; the Cartesian position of bob ``i`` is the cumulative sum of the
 link vectors, so the coordinate map is a pair of ``cumsum``s — cheap to
 evaluate, with a dense ``(2N, N)`` Jacobian that exercises the full
 ``JᵀMJ`` / Cholesky / Hessian-contraction pipeline.
+
+All physics parameters (masses, lengths, gravity) live in ``System.params``
+(the reference parameterizes every example at the CLI,
+``app/Examples.hs:195-359``), so parameter sweeps are first-class: batch the
+``params`` leaves (``System.replace_params`` / ``tree_map``) and every path —
+the generic mechanics, the tile-resident solves, and the fused whole-step
+kernel — evaluates per-member physics.  The inertia vector is derived from
+``params["masses"]`` via ``inertia_fn`` and can never fall out of sync.
 """
 
 from __future__ import annotations
@@ -31,9 +39,9 @@ def chain(
     """Chain of ``n_links`` pendulum links.
 
     Coordinates: bob ``i`` sits at
-    ``x_i = Σ_{j≤i} l·sin θ_j``, ``y_i = Σ_{j≤i} l·(1 − cos θ_j)`` —
+    ``x_i = Σ_{j≤i} l_j·sin θ_j``, ``y_i = Σ_{j≤i} l_j·(1 − cos θ_j)`` —
     the natural generalization of the reference double pendulum's coordinate
-    map (``app/Examples.hs:82-88``) to N links of equal length.
+    map (``app/Examples.hs:82-88``) to N links.
 
     Potential: ``U = g·Σ_i m_i·y_i`` (gravity, same form as the reference's
     ``5(m₁y₁ + m₂y₂)``, ``app/Examples.hs:89``).
@@ -45,45 +53,55 @@ def chain(
     masses = jnp.asarray(masses, dtype=jnp.result_type(float))
     if masses.shape != (n_links,):
         raise ValueError(f"need {n_links} masses, got shape {masses.shape}")
+    params = {
+        "masses": masses,
+        "lengths": jnp.full((n_links,), link_length,
+                            dtype=jnp.result_type(float)),
+        "gravity": jnp.asarray(gravity, dtype=jnp.result_type(float)),
+    }
+
     # Cartesian layout is (x1..xN, y1..yN), NOT interleaved pairs: the
     # dynamics are invariant to the permutation (inertia permutes with it),
     # and the concatenated form avoids a pair-stacking relayout inside the
     # per-step Jacobian assembly (measured 26% faster leapfrog steps at
     # 16384×20 on v5e — docs/design.md journal).
-    inertia = jnp.concatenate([masses, masses])
+    def inertia_fn(p):
+        return jnp.concatenate([p["masses"], p["masses"]])
 
-    def coords(q):
-        x = jnp.cumsum(link_length * jnp.sin(q))
-        y = jnp.cumsum(link_length * (1.0 - jnp.cos(q)))
+    def coords(q, p):
+        ls = p["lengths"].astype(q.dtype)
+        x = jnp.cumsum(ls * jnp.sin(q))
+        y = jnp.cumsum(ls * (1.0 - jnp.cos(q)))
         return jnp.concatenate([x, y])  # (x1..xN, y1..yN)
 
-    # Closed-form Jacobian of the cumsum map: ∂x_i/∂θ_j = l·cosθ_j·[j ≤ i],
-    # ∂y_i/∂θ_j = l·sinθ_j·[j ≤ i] — a lower-triangular mask times one
+    # Closed-form Jacobian of the cumsum map: ∂x_i/∂θ_j = l_j·cosθ_j·[j ≤ i],
+    # ∂y_i/∂θ_j = l_j·sinθ_j·[j ≤ i] — a lower-triangular mask times one
     # cos/sin row each.  Equals jacfwd(coords) (unit-tested); materializing
     # it via AD costs n tangent passes of coords and was measured as 2/3 of
     # the whole ensemble step (docs/design.md "Round-2 hot-loop reductions").
     tril = jnp.tril(jnp.ones((n_links, n_links), dtype=bool))
 
-    def jacobian_fn(q):
-        jx = jnp.where(tril, link_length * jnp.cos(q)[None, :], 0.0)
-        jy = jnp.where(tril, link_length * jnp.sin(q)[None, :], 0.0)
+    def jacobian_fn(q, p):
+        ls = p["lengths"].astype(q.dtype)
+        jx = jnp.where(tril, (ls * jnp.cos(q))[None, :], 0.0)
+        jy = jnp.where(tril, (ls * jnp.sin(q))[None, :], 0.0)
         return jnp.concatenate([jx, jy], axis=0)  # (2N, N)
 
     # Closed-form mass matrix: K[i,j] = Σ_k m_k·(∂x_k/∂θ_i·∂x_k/∂θ_j +
-    # ∂y_k/∂θ_i·∂y_k/∂θ_j) = l²·cos(θ_i−θ_j)·S_max(i,j) with the suffix
+    # ∂y_k/∂θ_i·∂y_k/∂θ_j) = l_i·l_j·cos(θ_i−θ_j)·S_max(i,j) with the suffix
     # mass sums S_r = Σ_{k≥r} m_k — n² elementwise ops, no Jacobian.  Equals
     # JᵀMJ (unit-tested); on the ensemble hot path this removes the (B, m, n)
     # Jacobian materialization entirely (docs/design.md "Round-2 hot-loop
-    # reductions").
-    suffix = jnp.cumsum(masses[::-1])[::-1]  # S_r
-    s_pair = jnp.minimum(suffix[:, None], suffix[None, :])  # S_max(i,j)
-
-    def mass_matrix_fn(q):
-        # cast the closure constant: q's dtype governs (the caller may trace
-        # at f32 inside an x64-enabled context, where s_pair was built f64)
-        return (link_length ** 2) * jnp.cos(q[:, None] - q[None, :]) * (
-            s_pair.astype(q.dtype)
-        )
+    # reductions").  The suffix sums are recomputed from the live params
+    # each call (O(n) — negligible next to the n² trig), so swept masses
+    # flow straight through.
+    def mass_matrix_fn(q, p):
+        ms = p["masses"].astype(q.dtype)
+        ls = p["lengths"].astype(q.dtype)
+        suffix = jnp.cumsum(ms[::-1])[::-1]  # S_r
+        s_pair = jnp.minimum(suffix[:, None], suffix[None, :])  # S_max(i,j)
+        ll = ls[:, None] * ls[None, :]
+        return ll * jnp.cos(q[:, None] - q[None, :]) * s_pair
 
     # NO ``dtdq_fn`` override here, deliberately: chain's ∂T/∂q closed forms
     # were measured SLOWER than the AD sweep on TPU (16384×20 leapfrog A/B,
@@ -94,29 +112,32 @@ def chain(
     # coords is already cumsum-structured, so hand forms only add work
     # (docs/design.md "Round-2 hot-loop reductions").
 
-    def potential_cart(xs):
-        return gravity * jnp.sum(masses * xs[n_links:])
+    def potential_cart(xs, p):
+        ms = p["masses"].astype(xs.dtype)
+        g = p["gravity"].astype(xs.dtype)
+        return g * jnp.sum(ms * xs[n_links:])
 
     # Fused whole-step kernel (opt-in via method="leapfrog_fused"): the
     # planar-serial-chain closed forms let the entire Verlet step run inside
     # one Pallas kernel with the state resident in register tiles
-    # (ops/pallas_step.py).  Constants are baked from THESE masses/lengths.
+    # (ops/pallas_step.py).  The factory reads the LIVE system's params, so
+    # concrete models bake immediates (the headline mode) while traced or
+    # batched params become per-member coefficient tiles (sweeps).
     from hamilton_tpu.ops.pallas_step import serial_chain_stepper
 
-    mass_list = [float(m) for m in masses]
-
-    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1,
-                    composition=(1.0,)):
+    def pallas_step(system, *, iters=(3, 1), compensated=False,
+                    steps_per_call=1, composition=(1.0,)):
+        p = system.params
         return serial_chain_stepper(
-            mass_list, [link_length] * n_links, gravity,
+            p["masses"], p["lengths"], p["gravity"],
             iters=iters, compensated=compensated,
             steps_per_call=steps_per_call, composition=composition,
         )
 
     system = mk_system_cart(
-        inertia, coords, potential_cart, n=n_links, name=f"chain{n_links}",
+        None, coords, potential_cart, n=n_links, name=f"chain{n_links}",
         jacobian_fn=jacobian_fn, mass_matrix_fn=mass_matrix_fn,
-        pallas_step=pallas_step,
+        pallas_step=pallas_step, params=params, inertia_fn=inertia_fn,
     )
 
     def draw(xs):

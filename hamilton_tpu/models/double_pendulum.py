@@ -2,6 +2,10 @@
 
 This is the baseline configuration system (BASELINE.md): ``System 4 2`` with
 the second arm half-length, the chaotic workhorse for the ensemble benchmark.
+The bob masses live in ``System.params`` (the reference takes them as CLI
+arguments, ``app/Examples.hs:196``), so mass sweeps are first-class — batch
+the ``params`` leaves and every path (library, tile, fused kernel) evaluates
+per-member masses.
 """
 
 from __future__ import annotations
@@ -25,9 +29,16 @@ def double_pendulum(m1: float = 1.0, m2: float = 1.0) -> Example:
     potential ``U = 5(m₁y₁ + m₂y₂)`` (``:89``); initial state ``q = (π/2, 0)``,
     ``q̇ = (0, 0)`` (``:94``).
     """
-    masses = jnp.array([m1, m1, m2, m2])
+    ftype = jnp.result_type(float)
+    params = {
+        "m1": jnp.asarray(m1, dtype=ftype),
+        "m2": jnp.asarray(m2, dtype=ftype),
+    }
 
-    def coords(q):
+    def inertia_fn(p):
+        return jnp.stack([p["m1"], p["m1"], p["m2"], p["m2"]])
+
+    def coords(q, p):
         t1, t2 = q[0], q[1]
         return jnp.stack(
             [
@@ -38,25 +49,31 @@ def double_pendulum(m1: float = 1.0, m2: float = 1.0) -> Example:
             ]
         )
 
-    def potential(x):
-        return 5.0 * (m1 * x[1] + m2 * x[3])
+    def potential(x, p):
+        return 5.0 * (p["m1"].astype(x.dtype) * x[1]
+                      + p["m2"].astype(x.dtype) * x[3])
 
     # fused whole-step kernel: the double pendulum is the planar serial
     # chain with lengths (1, ½) and gravity 5 (the model's constant offset
     # in y₂ does not enter ∇U, so the chain closed forms apply verbatim:
-    # K₁₁ = m₁+m₂, K₁₂ = ½cos(θ₁−θ₂)m₂, K₂₂ = ¼m₂)
+    # K₁₁ = m₁+m₂, K₁₂ = ½cos(θ₁−θ₂)m₂, K₂₂ = ¼m₂).  The factory reads the
+    # LIVE system's params: concrete masses bake immediates, traced/batched
+    # masses become per-member coefficient tiles (sweeps).
     from hamilton_tpu.ops.pallas_step import serial_chain_stepper
 
-    def pallas_step(*, iters=(3, 1), compensated=False, steps_per_call=1,
-                    composition=(1.0,)):
+    def pallas_step(system, *, iters=(3, 1), compensated=False,
+                    steps_per_call=1, composition=(1.0,)):
+        p = system.params
         return serial_chain_stepper(
-            [float(m1), float(m2)], [1.0, 0.5], 5.0,
+            jnp.stack([jnp.asarray(p["m1"]), jnp.asarray(p["m2"])], axis=-1),
+            [1.0, 0.5], 5.0,
             iters=iters, compensated=compensated,
             steps_per_call=steps_per_call, composition=composition,
         )
 
-    system = mk_system_cart(masses, coords, potential, n=2,
-                            name="double_pendulum", pallas_step=pallas_step)
+    system = mk_system_cart(None, coords, potential, n=2,
+                            name="double_pendulum", pallas_step=pallas_step,
+                            params=params, inertia_fn=inertia_fn)
 
     def draw(xs):
         return [xs[0:2], xs[2:4]]

@@ -30,16 +30,32 @@ def ellipse(
     coordinates ``(a·sin θ, b·(1 − cos θ))`` (θ measured from the bottom),
     potential ``U = g·m·y``."""
 
-    def coords(q):
+    ftype = jnp.result_type(float)
+    params = {
+        "a": jnp.asarray(a, dtype=ftype),
+        "b": jnp.asarray(b, dtype=ftype),
+        "mass": jnp.asarray(mass, dtype=ftype),
+        "gravity": jnp.asarray(gravity, dtype=ftype),
+    }
+
+    def inertia_fn(p):
+        return jnp.stack([p["mass"], p["mass"]])
+
+    def coords(q, p):
         th = q[0]
-        return jnp.stack([a * jnp.sin(th), b * (1.0 - jnp.cos(th))])
+        return jnp.stack([
+            p["a"].astype(q.dtype) * jnp.sin(th),
+            p["b"].astype(q.dtype) * (1.0 - jnp.cos(th)),
+        ])
 
     system = mk_system_cart(
-        jnp.array([mass, mass]),
+        None,
         coords,
-        lambda x: gravity * mass * x[1],
+        lambda x, p: (p["gravity"] * p["mass"]).astype(x.dtype) * x[1],
         n=1,
         name="ellipse",
+        params=params,
+        inertia_fn=inertia_fn,
     )
 
     def draw(xs):

@@ -33,17 +33,28 @@ def spherical_pendulum(
     precessing orbit between two polar circles.
     """
 
-    def coords(q):
+    ftype = jnp.result_type(float)
+    params = {
+        "mass": jnp.asarray(mass, dtype=ftype),
+        "gravity": jnp.asarray(gravity, dtype=ftype),
+    }
+
+    def inertia_fn(p):
+        return jnp.stack([p["mass"], p["mass"], p["mass"]])
+
+    def coords(q, p):
         th, ph = q[0], q[1]
         s = jnp.sin(th)
         return jnp.stack([s * jnp.cos(ph), s * jnp.sin(ph), 1.0 - jnp.cos(th)])
 
     system = mk_system_cart(
-        jnp.array([mass, mass, mass]),
+        None,
         coords,
-        lambda x: gravity * mass * x[2],
+        lambda x, p: (p["gravity"] * p["mass"]).astype(x.dtype) * x[2],
         n=2,
         name="spherical_pendulum",
+        params=params,
+        inertia_fn=inertia_fn,
     )
 
     def draw(xs):

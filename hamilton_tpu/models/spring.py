@@ -32,23 +32,31 @@ def spring(
     """
     left = logistic(-1.5, 25.0, 0.1)
     right = logistic(1.5, 25.0, 0.1)
+    ftype = jnp.result_type(float)
+    params = {
+        "m_block": jnp.asarray(m_block, dtype=ftype),
+        "m_weight": jnp.asarray(m_weight, dtype=ftype),
+        "k": jnp.asarray(k, dtype=ftype),
+    }
 
-    def coords(q):
+    def inertia_fn(p):
+        return jnp.stack([p["m_block"], p["m_weight"], p["m_weight"]])
+
+    def coords(q, p):
         r, x, th = q[0], q[1], q[2]
         return jnp.stack([r, r + (1.0 + x) * jnp.sin(th), (1.0 + x) * (-jnp.cos(th))])
 
-    def potential(q):
+    def potential(q, p):
         r, x, th = q[0], q[1], q[2]
         return (
-            k * x**2 / 2.0
+            p["k"].astype(q.dtype) * x**2 / 2.0
             + (1.0 - left(r))
             + right(r)
-            + m_block * ((1.0 + x) * (-jnp.cos(th)))
+            + p["m_block"].astype(q.dtype) * ((1.0 + x) * (-jnp.cos(th)))
         )
 
-    system = mk_system(
-        jnp.array([m_block, m_weight, m_weight]), coords, potential, n=3, name="spring"
-    )
+    system = mk_system(None, coords, potential, n=3, name="spring",
+                       params=params, inertia_fn=inertia_fn)
 
     def draw(xs):
         # block at (r, 1); weight at (0, 1) + (x_w, y_w)   (app/Examples.hs:160)

@@ -23,20 +23,28 @@ def two_body(m1: float = 5.0, m2: float = 0.5, omega0: float = 0.5) -> Example:
     ``r₁ = −(m₂/mT)·r``, ``r₂ = (m₁/mT)·r`` along ``(cos θ, sin θ)``.
     Initial state ``q = (2, 0)``, ``q̇ = (0, ω0)`` (``:142``).
     """
-    m_t = m1 + m2
-    masses = jnp.array([m1, m1, m2, m2])
+    ftype = jnp.result_type(float)
+    params = {
+        "m1": jnp.asarray(m1, dtype=ftype),
+        "m2": jnp.asarray(m2, dtype=ftype),
+    }
 
-    def coords(q):
+    def inertia_fn(p):
+        return jnp.stack([p["m1"], p["m1"], p["m2"], p["m2"]])
+
+    def coords(q, p):
         r, th = q[0], q[1]
-        r1 = r * (-(m2 / m_t))
-        r2 = r * (m1 / m_t)
+        m_t = p["m1"] + p["m2"]
+        r1 = r * (-(p["m2"] / m_t)).astype(q.dtype)
+        r2 = r * (p["m1"] / m_t).astype(q.dtype)
         c, s = jnp.cos(th), jnp.sin(th)
         return jnp.stack([r1 * c, r1 * s, r2 * c, r2 * s])
 
-    def potential(q):
-        return -(m1 * m2) / q[0]
+    def potential(q, p):
+        return -(p["m1"] * p["m2"]).astype(q.dtype) / q[0]
 
-    system = mk_system(masses, coords, potential, n=2, name="two_body")
+    system = mk_system(None, coords, potential, n=2, name="two_body",
+                       params=params, inertia_fn=inertia_fn)
 
     def draw(xs):
         return [xs[0:2], xs[2:4]]

@@ -295,8 +295,9 @@ def jac_tiles(j: jax.Array, inertia: jax.Array) -> jax.Array:
     """``√M·J`` in tile layout: (B, m, n) member-major → (G, m·n, 8, 128).
 
     The inertia is folded in as a row scaling so the kernels need no
-    separate inertia operand: ``K = JᵀMJ = (√M·J)ᵀ(√M·J)``."""
-    js = jnp.sqrt(inertia)[None, :, None].astype(j.dtype) * j
+    separate inertia operand: ``K = JᵀMJ = (√M·J)ᵀ(√M·J)``.  ``inertia`` may
+    be ``(m,)`` (shared) or ``(B, m)`` (per-member, from batched params)."""
+    js = jnp.sqrt(inertia)[..., :, None].astype(j.dtype) * j
     return _to_tiles(js, 2)
 
 

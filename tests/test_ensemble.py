@@ -56,50 +56,110 @@ class TestEnsemble:
         assert drift.shape == (8,)
         assert np.all(np.asarray(drift) < 1e-6)
 
-    def test_system_batched_mass_sweep(self):
-        """Parameter sweep: vmapping over the inertia leaf."""
-        import dataclasses
+    def test_params_mass_sweep_native_path(self):
+        """First-class parameter sweep: batch the ``params`` leaves and
+        evolve on the native-batch path; every member must match a freshly
+        constructed per-member system evolved alone."""
+        from hamilton_tpu.models import double_pendulum as dpf
 
         b = 5
         m2s = jnp.linspace(0.5, 2.0, b)
-        inertias = jnp.stack(
-            [jnp.array([1.0, 1.0, float(m2), float(m2)]) for m2 in m2s]
-        )
-        # NOTE: potential closure uses static m1/m2; for a sweep the potential
-        # must read masses from the inertia — build a sweep-safe system:
-        from hamilton_tpu import mk_system_cart
-        from hamilton_tpu.models.double_pendulum import double_pendulum as dpf
-
         base = dpf()
-
-        def potential_from_inertia(inertia):
-            def u_cart(x):
-                return 5.0 * (inertia[0] * x[1] + inertia[2] * x[3])
-            return u_cart
-
-        # Build one system whose potential reads a traced inertia via closure
-        # over the System pytree leaf: use vmap over the System itself.
-        sys_proto = mk_system_cart(
-            inertias[0], base.system.coords,
-            lambda x: 0.0, n=2,
+        sysb = base.system.replace_params({
+            "m1": jnp.ones(b), "m2": m2s,
+        })
+        ph0 = base.init_phase
+        ph = Phase(jnp.tile(ph0.q, (b, 1)), jnp.tile(ph0.p, (b, 1)))
+        traj = evolve_ensemble(sysb, ph, 0.01, 20, method="gauss4",
+                               emit_every=20)
+        assert traj.q.shape == (2, b, 2)
+        for i in range(b):
+            ex_i = dpf(1.0, float(m2s[i]))
+            out_i = evolve_ham_fixed(
+                ex_i.system, Phase(ph0.q, ph0.p), 0.01, 20,
+                method="gauss4", emit_every=20,
+            )
+            np.testing.assert_allclose(
+                np.asarray(traj.q[-1, i]), np.asarray(out_i.q[-1]),
+                rtol=1e-12, atol=1e-13,
+            )
+        # different masses → different dynamics
+        assert not np.allclose(
+            np.asarray(traj.q[-1, 0]), np.asarray(traj.q[-1, -1])
         )
 
-        def step_with(inertia, ph):
-            sysm = mk_system_cart(
-                inertia, base.system.coords,
-                potential_from_inertia(inertia), n=2,
-            )
-            out = evolve_ham_fixed(sysm, ph, 0.01, 20, method="gauss4", emit_every=20)
-            return Phase(out.q[-1], out.p[-1])
+    def test_params_sweep_energy_per_member(self):
+        """Per-member Hamiltonians of a swept ensemble track each member's
+        own physics (the silent-wrong-physics hazard of closure-baked
+        parameters, now structurally impossible for bundled models)."""
+        from hamilton_tpu.models import double_pendulum as dpf
 
-        ph0 = DP.init_phase
-        batch = jax.vmap(step_with, in_axes=(0, None))(inertias, ph0)
-        assert batch.q.shape == (b, 2)
-        # different masses → different dynamics
-        assert not np.allclose(np.asarray(batch.q[0]), np.asarray(batch.q[-1]))
+        b = 3
+        m2s = jnp.array([0.5, 1.0, 2.0])
+        base = dpf()
+        sysb = base.system.replace_params({"m1": jnp.ones(b), "m2": m2s})
+        ph0 = base.init_phase
+        ph = Phase(jnp.tile(ph0.q, (b, 1)), jnp.tile(ph0.p, (b, 1)))
+        h = hamiltonian(sysb, ph)
+        for i in range(b):
+            h_i = hamiltonian(dpf(1.0, float(m2s[i])).system, ph0)
+            np.testing.assert_allclose(float(h[i]), float(h_i), rtol=1e-12)
+
+    def test_system_batched_legacy_inertia_sweep(self):
+        """The legacy explicit-vmap path (system_batched=True) still works
+        for hand-built systems whose variation lives in the inertia leaf."""
+        from hamilton_tpu import mk_system
+
+        b = 4
+        scales = jnp.linspace(1.0, 2.0, b)
+        inertias = scales[:, None] * jnp.ones((1, 2))
+
+        # mass-scaled free particle in a quadratic well: no params pytree,
+        # the potential is mass-independent so the inertia leaf is the only
+        # swept quantity (the legacy-sweep contract)
+        sys0 = mk_system(
+            jnp.ones(2), lambda q: q, lambda q: 0.5 * jnp.sum(q**2), n=2,
+        )
+        sysb = jax.tree_util.tree_map(
+            lambda leaf: inertias if leaf.shape == (2,) else leaf, sys0
+        )
+        ph = Phase(jnp.tile(jnp.array([1.0, 0.0]), (b, 1)),
+                   jnp.tile(jnp.array([0.0, 1.0]), (b, 1)))
+        traj = evolve_ensemble(sysb, ph, 0.01, 20, method="gauss4",
+                               emit_every=20, system_batched=True)
+        assert traj.q.shape == (2, b, 2)  # (time incl init, batch, n)
+        # heavier members move slower under the same momenta
+        assert float(traj.q[-1, 0, 1]) > float(traj.q[-1, -1, 1])
 
 
 class TestSharded:
+    def test_sharded_params_sweep_matches_unsharded(self, devices8):
+        """Batched params shard along the ensemble mesh axis: the sharded
+        sweep must equal the unsharded sweep bitwise-closely."""
+        from hamilton_tpu.models import double_pendulum as dpf
+
+        b = 16
+        base = dpf()
+        sysb = base.system.replace_params({
+            "m1": jnp.ones(b),
+            "m2": jnp.linspace(0.5, 2.0, b),
+        })
+        batch = make_batch(b)
+        mesh = ensemble_mesh(devices8)
+        final_s, drift_s = evolve_ensemble_sharded(
+            sysb, batch, 0.01, 50, mesh=mesh, drift_every=50
+        )
+        final_u, drift_u = evolve_ensemble_final(
+            sysb, batch, 0.01, 50, drift_every=50
+        )
+        np.testing.assert_allclose(
+            np.asarray(final_s.q), np.asarray(final_u.q),
+            rtol=1e-12, atol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(drift_s), np.asarray(drift_u), rtol=1e-6, atol=1e-12
+        )
+
     def test_sharded_matches_unsharded(self, devices8):
         mesh = ensemble_mesh(devices8)
         batch = make_batch(16)

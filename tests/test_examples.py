@@ -203,7 +203,7 @@ class TestChain:
             rng = np.random.default_rng(7)
             for _ in range(3):
                 q = jnp.asarray(rng.uniform(-2, 2, n_links))
-                j_ad = jax.jacfwd(ex.system.coords)(q)
+                j_ad = jax.jacfwd(ex.system.coords_bound())(q)
                 j_cf = ex.system.jacobian(q)
                 np.testing.assert_allclose(
                     np.asarray(j_cf), np.asarray(j_ad), rtol=0, atol=1e-13
@@ -224,7 +224,7 @@ class TestChain:
             ex = chain(**kwargs)
             rng = np.random.default_rng(11)
             q = jnp.asarray(rng.uniform(-2, 2, ex.n))
-            j = jax.jacfwd(ex.system.coords)(q)
+            j = jax.jacfwd(ex.system.coords_bound())(q)
             k_ref = j.T @ (ex.system.inertia[:, None] * j)
             k_cf = mass_matrix(ex.system, q)
             np.testing.assert_allclose(
@@ -277,7 +277,7 @@ class TestChain:
 
         ex = chain(n_links=6, link_length=0.8)
         plain = mk_system_cart(
-            ex.system.inertia, ex.system.coords,
+            ex.system.inertia, ex.system.coords_bound(),
             lambda xs: 5.0 * jnp.sum(xs[6:]), n=6,
         )
         # same potential form as chain's default (unit masses)

@@ -56,25 +56,26 @@ class TestGradThroughTrajectory:
         g2 = jax.grad(lambda q: _final_q0(Phase(q, ph0.p), remat=True))(ph0.q)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10)
 
-    def test_grad_wrt_inertia(self):
-        """Sensitivity to physical parameters through the pytree system leaf."""
+    def test_grad_wrt_params(self):
+        """Sensitivity to physical parameters through the ``params`` pytree
+        leaf: mass edits flow through the potential, the mass matrix, AND
+        the derived inertia (inertia_fn), all differentiably."""
 
-        def loss(inertia):
-            sysm = mk_system_cart(
-                inertia, DP.system.coords,
-                lambda x: 5.0 * (inertia[0] * x[1] + inertia[2] * x[3]),
-                n=2,
+        def loss(m2):
+            sysm = DP.system.replace_params(
+                {"m1": jnp.asarray(1.0), "m2": m2}
             )
             ph0 = to_phase(sysm, DP.init_config)
             out = evolve_ham_fixed(sysm, ph0, 0.01, 30, emit_every=30, iters=3)
             return jnp.sum(out.q[-1] ** 2)
 
-        g = jax.grad(loss)(jnp.array([1.0, 1.0, 1.0, 1.0]))
-        assert np.all(np.isfinite(np.asarray(g)))
+        g = jax.grad(loss)(jnp.asarray(1.0))
+        assert np.isfinite(float(g)) and float(g) != 0.0
         eps = 1e-6
-        e = jnp.zeros(4).at[2].set(eps)
-        fd = (loss(jnp.ones(4) + e) - loss(jnp.ones(4) - e)) / (2 * eps)
-        np.testing.assert_allclose(float(g[2]), float(fd), rtol=1e-4)
+        fd = (loss(jnp.asarray(1.0 + eps)) - loss(jnp.asarray(1.0 - eps))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
 
     def test_tiny_shooting_optimization(self):
         """Fit an initial angular velocity so the pendulum reaches a target

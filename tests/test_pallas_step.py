@@ -66,6 +66,50 @@ class TestFusedStep:
         np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
                                    rtol=0, atol=1e-13)
 
+    def test_per_member_params_sweep_matches_library(self):
+        """Runtime-operand mode: batched ``params`` (an IC × mass-grid
+        ensemble) route per-member coefficient tiles into the kernel; every
+        member must match the library leapfrog evolving the same swept
+        system (which itself matches freshly built per-member systems —
+        tests/test_ensemble.py)."""
+        rng = np.random.default_rng(5)
+        ex = chain(n_links=4)
+        ph = Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((B, 4))),
+                   jnp.asarray(0.01 * rng.standard_normal((B, 4))))
+        sysb = ex.system.replace_params({
+            "masses": jnp.asarray(0.5 + rng.random((B, 4))),
+            "lengths": jnp.broadcast_to(ex.system.params["lengths"], (B, 4)),
+            "gravity": jnp.asarray(4.0 + rng.random(B)),
+        })
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(sysb, "leapfrog", iters=(6, 4))
+        fus = make_stepper(sysb, "leapfrog_fused", iters=(6, 4))
+        c_lib = lib.init(ph)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.init(ph)
+            assert len(c_fus) == 6  # state + (cm, gu) coefficient tiles
+            for _ in range(2):
+                c_lib = lib.step(c_lib, dt)
+                c_fus = fus.step(c_fus, dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-13)
+
+    def test_shared_params_bake_static_mode(self):
+        """Concrete unbatched params keep the immediate-constant kernel (the
+        headline mode): the carry stays 4 state tiles, no coefficient
+        operands."""
+        ex = chain(n_links=4)
+        fus = make_stepper(ex.system, "leapfrog_fused", iters=(2, 1))
+        rng = np.random.default_rng(0)
+        ph = Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((B, 4))),
+                   jnp.asarray(0.01 * rng.standard_normal((B, 4))))
+        with pltpu.force_tpu_interpret_mode():
+            c = fus.init(ph)
+        assert len(c) == 4
+
     @pytest.mark.parametrize("model", ["pendulum", "double_pendulum"])
     def test_family_members_match_library(self, model):
         """Pendulum and double pendulum are the n=1 / n=2 members of the
@@ -284,22 +328,84 @@ class TestFusedStep:
         np.testing.assert_array_equal(np.asarray(f_full.q), np.asarray(f_res.q))
         np.testing.assert_array_equal(np.asarray(d_full), np.asarray(d_res))
 
-    def test_forward_only_clean_error(self, ph4):
-        """jax.grad through the fused step raises an informative
-        NotImplementedError (the library methods are the differentiable
-        path), while the primal path is untouched."""
+    def test_grad_matches_library_leapfrog(self, ph4):
+        """jax.grad through the fused kernel (exact-replay custom VJP) must
+        match the gradient of the library leapfrog computing the same map —
+        including through multi-step in-kernel blocks (the factor-carry
+        path)."""
         ex = chain(n_links=4)
-        st = make_stepper(ex.system, "leapfrog_fused", iters=(2, 1))
+        dt = 1e-3
+        fus = make_stepper(ex.system, "leapfrog_fused", iters=(4, 2),
+                           steps_per_call=3)
+        lib = make_stepper(ex.system, "leapfrog", iters=(4, 2))
 
-        def loss(q0):
-            c = st.init(Phase(q0, ph4.p))
-            c = st.step(c, jnp.float64(1e-3))
-            return jnp.sum(st.extract(c).q)
+        def loss_fused(q0, p0):
+            c = fus.init(Phase(q0, p0))
+            c = fus.step(c, dt)  # 3 dt-steps inside one kernel call
+            ph = fus.extract(c)
+            return jnp.sum(ph.q ** 2) + jnp.sum(ph.p * ph.q)
+
+        def loss_lib(q0, p0):
+            c = lib.init(Phase(q0, p0))
+            for _ in range(3):
+                c = lib.step(c, dt)
+            ph = lib.extract(c)
+            return jnp.sum(ph.q ** 2) + jnp.sum(ph.p * ph.q)
 
         with pltpu.force_tpu_interpret_mode():
-            assert np.isfinite(float(loss(ph4.q)))
-            with pytest.raises(NotImplementedError, match="forward-only"):
-                jax.grad(loss)(ph4.q)
+            gq_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(ph4.q, ph4.p)
+        gq_l, gp_l = jax.grad(loss_lib, argnums=(0, 1))(ph4.q, ph4.p)
+        np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_l),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_l),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_grad_yoshida4_fused(self, ph4):
+        """The 4th-order composition differentiates through the same replay
+        (sign-alternating substeps included)."""
+        ex = chain(n_links=4)
+        fus = make_stepper(ex.system, "yoshida4_fused", iters=(3, 1))
+        lib = make_stepper(ex.system, "yoshida4", iters=(3, 1))
+        dt = 1e-3
+
+        def loss(st):
+            def f(q0):
+                c = st.init(Phase(q0, ph4.p))
+                c = st.step(c, dt)
+                return jnp.sum(st.extract(c).q ** 2)
+
+            return f
+
+        with pltpu.force_tpu_interpret_mode():
+            g_f = jax.grad(loss(fus))(ph4.q)
+        g_l = jax.grad(loss(lib))(ph4.q)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_l),
+                                   rtol=1e-8, atol=1e-11)
+
+    def test_grad_wrt_masses_through_fused(self, ph4):
+        """Gradients w.r.t. the physics parameters flow through the fused
+        kernel's runtime coefficient tiles (finite-difference checked)."""
+        ex = chain(n_links=4)
+
+        def loss(masses):
+            sysb = ex.system.replace_params({
+                "masses": masses,
+                "lengths": ex.system.params["lengths"],
+                "gravity": ex.system.params["gravity"],
+            })
+            st = make_stepper(sysb, "leapfrog_fused", iters=(3, 1))
+            c = st.init(ph4)
+            c = st.step(c, 1e-3)
+            return jnp.sum(st.extract(c).q ** 2)
+
+        m0 = jnp.ones(4)
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(loss)(m0)
+            eps = 1e-5
+            e = jnp.zeros(4).at[1].set(eps)
+            fd = (loss(m0 + e) - loss(m0 - e)) / (2 * eps)
+        assert np.all(np.isfinite(np.asarray(g)))
+        np.testing.assert_allclose(float(g[1]), float(fd), rtol=5e-3)
 
     def test_substeps_must_divide(self, ph4):
         from hamilton_tpu.ensemble import evolve_ensemble_final

@@ -1,0 +1,139 @@
+"""System.params protocol: validation, batching rules, guard rails.
+
+The sweep *correctness* tests live in tests/test_ensemble.py (native-path
+per-member parity) and tests/test_pallas_step.py (fused runtime-operand
+mode); this module covers the protocol's edges — the error paths that turn
+round-2's silent-wrong-physics hazards into loud failures.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hamilton_tpu.mechanics import hamiltonian, momenta, to_phase
+from hamilton_tpu.models import chain, double_pendulum
+from hamilton_tpu.state import Config, Phase
+from hamilton_tpu.system import mk_system, mk_system_cart
+
+
+class TestConstruction:
+    def test_inertia_fn_requires_params(self):
+        with pytest.raises(ValueError, match="params"):
+            mk_system(None, lambda q: q, lambda q: 0.0, n=2,
+                      inertia_fn=lambda p: jnp.ones(2))
+
+    def test_inertia_and_inertia_fn_mutually_exclusive(self):
+        with pytest.raises(ValueError, match="not both"):
+            mk_system(jnp.ones(2), lambda q, p: q, lambda q, p: 0.0, n=2,
+                      params={"m": jnp.asarray(1.0)},
+                      inertia_fn=lambda p: jnp.ones(2))
+
+    def test_params_fns_validated_with_params(self):
+        # coords that uses params must shape-trace during construction
+        sys_ = mk_system(
+            None, lambda q, p: p["scale"] * q, lambda q, p: jnp.sum(q), n=2,
+            params={"scale": jnp.asarray(2.0)},
+            inertia_fn=lambda p: jnp.ones(2),
+        )
+        assert sys_.m == 2
+
+    def test_derived_inertia_tracks_params(self):
+        ex = chain(n_links=3, masses=[2.0, 1.0, 0.5])
+        np.testing.assert_allclose(
+            np.asarray(ex.system.inertia),
+            [2.0, 1.0, 0.5, 2.0, 1.0, 0.5],
+        )
+        swept = ex.system.replace_params(
+            {**ex.system.params, "masses": jnp.array([1.0, 1.0, 1.0])}
+        )
+        np.testing.assert_allclose(np.asarray(swept.inertia), np.ones(6))
+
+
+class TestBatchingRules:
+    def test_inconsistent_leaf_batching_raises(self):
+        """Inconsistency introduced through raw pytree surgery (bypassing
+        replace_params' eager check) still raises at first use."""
+        ex = double_pendulum()
+        children, aux = ex.system.tree_flatten()
+        bad_params = dict(children[1])
+        bad_params["m1"] = jnp.ones(4)  # m2 stays unbatched
+        bad = type(ex.system).tree_unflatten(aux, (children[0], bad_params))
+        with pytest.raises(ValueError, match="inconsistent"):
+            bad.param_batch_ndim()
+
+    def test_replace_params_validates_eagerly(self):
+        ex = double_pendulum()
+        with pytest.raises(ValueError, match="inconsistent"):
+            ex.system.replace_params(
+                {"m1": jnp.ones((4, 2)), "m2": jnp.ones(4)}
+            )
+
+    def test_member_level_call_on_batched_params_raises(self):
+        """System.jacobian / potential_grad on a batched-params system must
+        refuse rather than silently bind the whole batch to one member."""
+        ex = double_pendulum()
+        sysb = ex.system.replace_params({"m1": jnp.ones(3), "m2": jnp.ones(3)})
+        with pytest.raises(ValueError, match="batched params"):
+            sysb.potential_grad(jnp.zeros(2))
+
+    def test_params_batch_must_not_exceed_state_batch(self):
+        ex = double_pendulum()
+        sysb = ex.system.replace_params({"m1": jnp.ones(3), "m2": jnp.ones(3)})
+        with pytest.raises(ValueError, match="trailing"):
+            hamiltonian(sysb, Phase(jnp.zeros(2), jnp.zeros(2)))
+
+    def test_trailing_alignment_time_axis(self):
+        """(T, B, n) states evaluate (B,)-batched params across the leading
+        time axis."""
+        b = 3
+        ex = double_pendulum()
+        sysb = ex.system.replace_params(
+            {"m1": jnp.ones(b), "m2": jnp.linspace(0.5, 2.0, b)}
+        )
+        q = jnp.tile(ex.init_phase.q, (5, b, 1))
+        p = jnp.tile(ex.init_phase.p, (5, b, 1))
+        h = hamiltonian(sysb, Phase(q, p))
+        assert h.shape == (5, b)
+        for i in range(b):
+            h_i = hamiltonian(double_pendulum(1.0, float(sysb.params["m2"][i])).system,
+                              ex.init_phase)
+            np.testing.assert_allclose(np.asarray(h[:, i]), float(h_i),
+                                       rtol=1e-12)
+
+    def test_vmap_over_system_params(self):
+        """vmapping a function of (System, Phase) over the params leaves is
+        equivalent to the native batched-params path."""
+        b = 4
+        ex = double_pendulum()
+        m2s = jnp.linspace(0.5, 2.0, b)
+        sysb = ex.system.replace_params({"m1": jnp.ones(b), "m2": m2s})
+        ph = Phase(jnp.tile(ex.init_phase.q, (b, 1)),
+                   jnp.tile(ex.init_phase.p, (b, 1)))
+        native = hamiltonian(sysb, ph)
+        sys_axes = jax.tree_util.tree_map(lambda _: 0, sysb)
+        vmapped = jax.vmap(hamiltonian, in_axes=(sys_axes, 0))(sysb, ph)
+        np.testing.assert_allclose(np.asarray(native), np.asarray(vmapped),
+                                   rtol=1e-12)
+
+
+class TestLegacyClosureSystems:
+    def test_legacy_systems_unchanged(self):
+        """No-params systems keep the single-argument call protocol."""
+        sys_ = mk_system_cart(
+            jnp.ones(2), lambda q: q, lambda x: jnp.sum(x**2), n=2,
+        )
+        c = Config(jnp.array([1.0, 2.0]), jnp.array([0.1, 0.2]))
+        ph = to_phase(sys_, c)
+        np.testing.assert_allclose(np.asarray(ph.p), [0.1, 0.2])
+        np.testing.assert_allclose(
+            np.asarray(momenta(sys_, c)), np.asarray(ph.p)
+        )
+
+    def test_bundled_models_have_no_inertia_leaf(self):
+        """Bundled parameterized models derive inertia from params — there
+        is no inertia leaf to tree-map out of sync."""
+        for ex in (chain(n_links=3), double_pendulum()):
+            children, _aux = ex.system.tree_flatten()
+            assert children[0] is None  # inertia derived, not stored

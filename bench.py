@@ -12,19 +12,28 @@ Prints exactly ONE JSON line:
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}``.
 
 Phases (each independently fault-tolerant; f32 accelerator phases run
-before the f64 attempt because a faulted f64 dispatch poisons the device):
+before the f64 attempts because a faulted f64 dispatch poisons the device):
   1. TPU f32 chain-20 ensemble, FULL 1e5-step horizon: the fused
      whole-step Pallas kernel (``leapfrog_fused``, warm-started exact
      fixed points, Kahan-compensated, 50-step in-VMEM factor-carry
      blocks; library-leapfrog fallback), executed as chunked dispatches —
      the headline throughput AND the on-TPU max|ΔH/H₀| (measured in f64
      every 1000 steps during the same run).
-  2. Double-pendulum north-star config: 16k-member f32 throughput (fused
+  2. Margin datapoint: ``yoshida4_fused`` (order 4) at the same shape over
+     the FULL horizon — throughput + on-device drift, so the headline does
+     not ride a thin margin alone.
+  3. Parameter-sweep throughput: per-member masses/gravity through the
+     fused kernel's runtime coefficient tiles (target: within ~2× of the
+     shared-parameter headline).
+  4. Double-pendulum north-star config: 16k-member f32 throughput (fused
      kernel, library fallback) plus the FULL 1e5-step f64 gauss4 drift
      (cheap at n=2) on the host.
-  3. Chain-20 f64 gauss4 drift, capped horizon (bounded oscillation), with
-     a budget probe and host fallback around the TPU's emulated f64.
-  4. Single-trajectory CPU baselines: jax-CPU and the native C++ engine;
+  5. Adaptive on-device: single + 8-member ``evolve_ham`` (shared and
+     per-member controllers) in f64, timed vs the host CPU with parity.
+  6. Chain-20 f64 gauss4 drift over the FULL horizon (host fallback, B=4
+     chunked ≈ 200 s; the accelerator is attempted first under a budget
+     probe around its emulated f64).
+  7. Single-trajectory CPU baselines: jax-CPU and the native C++ engine;
      vs_baseline uses the stronger of the two.
 
 Note: first-compile latency through this environment's remote-compile
@@ -140,6 +149,143 @@ def phase_throughput(args):
     return out
 
 
+def phase_margin(args):
+    """Second full-horizon datapoint with a high drift margin (VERDICT r2):
+    ``yoshida4_fused`` — the 4th-order composition executed inside the fused
+    kernel — at the headline shape over the FULL horizon, with on-device f64
+    drift sampling.  The headline leapfrog point rides a ~1.7× margin under
+    the 1e-6 bound; this point documents the fallback with a far larger
+    margin (order 4: the dt³ error term is gone) and its throughput cost.
+    """
+    from hamilton_tpu.ensemble import evolve_ensemble_chunked
+
+    chunk_steps = min(args.chunk_steps, args.margin_steps)
+    n_steps = (args.margin_steps // chunk_steps) * chunk_steps
+    chunk_wall = []
+    t_last = [time.perf_counter()]
+
+    def on_chunk(ci, phase, drift):
+        now = time.perf_counter()
+        chunk_wall.append(now - t_last[0])
+        t_last[0] = now
+
+    with jax.enable_x64(True):
+        system, ph = _build(args.batch, jnp.float32)
+        final, drift = evolve_ensemble_chunked(
+            system, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
+            method="yoshida4_fused", iters=(2, 1), compensated=True,
+            drift_every=min(1000, chunk_steps), drift_dtype=jnp.float64,
+            callback=on_chunk, steps_per_call=args.steps_per_call,
+        )
+        jax.block_until_ready(final.q)
+        max_drift = float(jnp.max(drift))
+    steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
+    el = sum(steady)
+    return {
+        "y4_member_steps_per_sec": args.batch * chunk_steps * len(steady) / el,
+        "y4_tpu_max_energy_drift_f32comp": max_drift,
+        "y4_drift_steps": n_steps,
+        "y4_first_chunk_s": round(chunk_wall[0], 1),
+    }
+
+
+def phase_sweep(args):
+    """Parameter-sweep throughput (VERDICT r2 item 1 'done' criterion): the
+    same 16k×chain-20 ensemble with PER-MEMBER masses/gravity — the fused
+    kernel in runtime-operand mode (coefficient tiles computed at init and
+    carried with the state).  Target: within ~2× of the shared-parameter
+    headline throughput.
+    """
+    from hamilton_tpu.ensemble import evolve_ensemble_chunked
+
+    chunk_steps = min(args.chunk_steps, args.sweep_steps)
+    n_steps = (args.sweep_steps // chunk_steps) * chunk_steps
+    with jax.enable_x64(True):
+        system, ph = _build(args.batch, jnp.float32)
+        rng = np.random.default_rng(7)
+        n = ph.q.shape[1]
+        sysb = system.replace_params({
+            "masses": jnp.asarray(
+                1.0 + 0.05 * rng.standard_normal((args.batch, n)),
+                dtype=jnp.float32,
+            ),
+            "lengths": jnp.broadcast_to(
+                system.params["lengths"].astype(jnp.float32), (args.batch, n)
+            ),
+            "gravity": jnp.asarray(
+                5.0 + 0.1 * rng.standard_normal(args.batch), dtype=jnp.float32
+            ),
+        })
+        chunk_wall = []
+        t_last = [time.perf_counter()]
+
+        def on_chunk(ci, phase, drift):
+            now = time.perf_counter()
+            chunk_wall.append(now - t_last[0])
+            t_last[0] = now
+
+        final, drift = evolve_ensemble_chunked(
+            sysb, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
+            method="leapfrog_fused", iters=args.iters, compensated=True,
+            drift_every=min(1000, chunk_steps), drift_dtype=jnp.float64,
+            callback=on_chunk, steps_per_call=args.steps_per_call,
+        )
+        jax.block_until_ready(final.q)
+        max_drift = float(jnp.max(drift))
+    steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
+    el = sum(steady)
+    return {
+        "sweep_member_steps_per_sec": args.batch * chunk_steps * len(steady) / el,
+        "sweep_max_energy_drift_f32comp": max_drift,
+        "sweep_steps": n_steps,
+        "sweep_first_chunk_s": round(chunk_wall[0], 1),
+    }
+
+
+def phase_adaptive(args):
+    """Adaptive path on the accelerator (VERDICT r2 item 7): single and
+    8-member ``evolve_ham`` (shared + per-member controllers) on-device in
+    f64 (GSL's eps = 1.49e-08 is below f32 resolution, so f64 — emulated on
+    TPU — is the only meaningful on-device mode), timed against the host CPU
+    running the identical computation, with trajectory parity recorded.
+    """
+    from hamilton_tpu.integrators.evolve import evolve_ham
+    from hamilton_tpu.state import Phase as _Phase
+
+    out = {}
+    ts = jnp.linspace(0.0, 1.0, 11)
+    with jax.enable_x64(True):
+        system, ph8 = _build(8, jnp.float64)
+        single = _Phase(ph8.q[0], ph8.p[0])
+        cpu = jax.devices("cpu")[0]
+
+        def timed(tag, device, fn, *a, **kw):
+            import contextlib
+
+            ctx = (jax.default_device(device)
+                   if device is not None else contextlib.nullcontext())
+            with ctx:
+                res = fn(*a, **kw)
+                jax.block_until_ready(res.q)  # includes compile
+                t0 = time.perf_counter()
+                res = fn(*a, **kw)
+                jax.block_until_ready(res.q)
+                out[tag] = round(time.perf_counter() - t0, 4)
+            return res
+
+        ref = timed("adaptive_cpu_single_s", cpu, evolve_ham, system, single, ts)
+        dev = timed("adaptive_tpu_single_s", None, evolve_ham, system, single, ts)
+        out["adaptive_tpu_parity_vs_cpu"] = float(
+            jnp.max(jnp.abs(dev.q - ref.q))
+        )
+        timed("adaptive_tpu_8shared_s", None, evolve_ham, system, ph8, ts,
+              batch_mode="shared")
+        timed("adaptive_tpu_8pm_s", None, evolve_ham, system, ph8, ts,
+              batch_mode="per_member")
+        out["adaptive_platform"] = jax.devices()[0].platform
+    return out
+
+
 def phase_drift(args):
     """f64 gauss4 drift over the full horizon.
 
@@ -188,12 +334,12 @@ def phase_drift(args):
             return float(jnp.max(drift))
 
     # f64 on this TPU is emulated at ~140 ms/step for the chain-20 config —
-    # the full 1e5-step horizon would take hours, and very long single
-    # dispatches can fault the relay.  Cap the chain-20 f64 horizon:
-    # symplectic drift is a bounded oscillation (not secular), so the max
-    # over 2e4 steps is representative of 1e5.  The FULL 1e5-step f64 drift
-    # requirement is measured on the (cheap, n=2) north-star double-pendulum
-    # config in phase_double_pendulum.
+    # the full 1e5-step horizon would take hours there, and very long single
+    # dispatches can fault the relay.  Attempt the accelerator under a
+    # budget probe; the standing path is the HOST fallback, which since
+    # round 3 runs the FULL horizon (B=4 chunked f64 gauss4 measures ~500
+    # steps/s on this host → ~200 s for 1e5 steps) instead of the round-2
+    # 2e4-step cap-and-extrapolate.
     steps = min(args.drift_steps, 20_000)
     args_steps, args.drift_steps = args.drift_steps, steps
     try:
@@ -202,9 +348,10 @@ def phase_drift(args):
             platform = jax.devices()[0].platform
             batch = args.drift_batch
         except Exception:
-            cpu = jax.devices("cpu")[0]
-            batch = min(args.drift_batch, 16)
-            value = run(batch, cpu)
+            args.drift_steps = args_steps
+            steps = args.drift_steps
+            batch = min(args.drift_batch, 4)
+            value = _host_full_horizon_drift(args, batch)
             platform = "cpu-fallback"
     finally:
         args.drift_steps = args_steps
@@ -214,6 +361,24 @@ def phase_drift(args):
         "drift_batch": batch,
         "drift_platform": platform,
     }
+
+
+def _host_full_horizon_drift(args, batch):
+    """Chain-20 f64 gauss4 drift over the FULL horizon on the host CPU,
+    executed as chunked dispatches (the resumable driver)."""
+    from hamilton_tpu.ensemble import evolve_ensemble_chunked
+
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64(True), jax.default_device(cpu):
+        system, ph = _build(batch, jnp.float64)
+        chunk = min(10_000, args.drift_steps)
+        n_steps = (args.drift_steps // chunk) * chunk
+        _, drift = evolve_ensemble_chunked(
+            system, ph, 1e-3, n_steps, chunk_steps=chunk,
+            method="gauss4", iters=6, drift_every=1000,
+        )
+        jax.block_until_ready(drift)
+        return float(jnp.max(drift))
 
 
 def phase_double_pendulum(args):
@@ -367,6 +532,13 @@ def main(argv=None):
     # 3.7e-7 @2e4 — docs/design.md).  Must divide chunk_steps and
     # drift_every.
     ap.add_argument("--steps-per-call", type=int, default=50)
+    # full-horizon yoshida4_fused margin datapoint + runtime-params sweep
+    # throughput (both chunked, f64-sampled drift like the headline)
+    ap.add_argument("--margin-steps", type=int, default=100_000)
+    ap.add_argument("--sweep-steps", type=int, default=20_000)
+    ap.add_argument("--skip-margin", action="store_true")
+    ap.add_argument("--skip-sweep", action="store_true")
+    ap.add_argument("--skip-adaptive", action="store_true")
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
     ap.add_argument("--skip-drift", action="store_true")
@@ -376,6 +548,7 @@ def main(argv=None):
         args.chunk_steps = 500
         args.drift_steps, args.drift_batch = 5000, 256
         args.dp_drift_steps = 10_000
+        args.margin_steps, args.sweep_steps = 1000, 1000
 
     extras = {"method": args.method}
     value = 0.0
@@ -385,13 +558,33 @@ def main(argv=None):
         value = extras["member_steps_per_sec"]
     except Exception as e:  # pragma: no cover
         extras["throughput_error"] = f"{type(e).__name__}: {e}"[:200]
+    if not args.skip_margin:
+        try:
+            extras.update(phase_margin(args))
+        except Exception as e:  # pragma: no cover
+            extras["margin_error"] = f"{type(e).__name__}: {e}"[:200]
+    if not args.skip_sweep:
+        try:
+            extras.update(phase_sweep(args))
+            if value and extras.get("sweep_member_steps_per_sec"):
+                extras["sweep_vs_headline"] = round(
+                    extras["sweep_member_steps_per_sec"] / value, 3
+                )
+        except Exception as e:  # pragma: no cover
+            extras["sweep_error"] = f"{type(e).__name__}: {e}"[:200]
     # order matters: a failed TPU-f64 attempt can leave the device faulted
     # for the rest of the process, so all f32 accelerator phases run before
-    # the f64 drift attempt.
+    # the f64 attempts (adaptive is f64-on-device but small/short; it runs
+    # after every f32 phase).
     try:
         extras.update(phase_double_pendulum(args))
     except Exception as e:  # pragma: no cover
         extras["dp_error"] = f"{type(e).__name__}: {e}"[:200]
+    if not args.skip_adaptive:
+        try:
+            extras.update(phase_adaptive(args))
+        except Exception as e:  # pragma: no cover
+            extras["adaptive_error"] = f"{type(e).__name__}: {e}"[:200]
     if not args.skip_drift:
         try:
             extras.update(phase_drift(args))

@@ -36,6 +36,11 @@ def main(argv=None) -> int:
     ap.add_argument("--twin-eps", type=float, default=1e-4,
                     help="twin displacement (must be representable at the "
                     "working precision; 1e-4 suits f32)")
+    ap.add_argument("--mass-grid", type=int, default=0,
+                    help="also sweep the second bob mass m₂ over this many "
+                    "values (crossed with the θ₁ sweep) via System.params — "
+                    "an (IC × parameter) grid with per-member physics")
+    ap.add_argument("--mass-range", type=float, nargs=2, default=(0.5, 2.0))
     ap.add_argument("--cpu", action="store_true", help="force CPU")
     ap.add_argument("--json", action="store_true", help="machine-readable output")
     args = ap.parse_args(argv)
@@ -59,6 +64,20 @@ def main(argv=None) -> int:
 
     ex = double_pendulum()
     b = args.batch
+    system = ex.system
+    m2_grid = None
+    if args.mass_grid > 0:
+        if b % args.mass_grid:
+            raise SystemExit(
+                f"--batch {b} must be divisible by --mass-grid {args.mass_grid}"
+            )
+        # (IC × mass) grid: member i gets mass m2_grid[i % G]; the params
+        # leaves carry the member batch axis and every path — library,
+        # tile-resident solves, fused kernel — evaluates per-member physics
+        m2_grid = jnp.linspace(args.mass_range[0], args.mass_range[1],
+                               args.mass_grid)
+        m2 = jnp.tile(m2_grid, b // args.mass_grid)
+        system = ex.system.replace_params({"m1": jnp.ones(b), "m2": m2})
     theta1 = jnp.linspace(-args.spread, args.spread, b) + ex.init_config.q[0]
     q0 = jnp.stack([theta1, jnp.zeros(b)], axis=-1)
     ph = Phase(q0, jnp.zeros_like(q0))
@@ -73,7 +92,7 @@ def main(argv=None) -> int:
 
     run = jax.jit(
         lambda p: evolve_ensemble(
-            ex.system, p, args.dt, args.steps, method=args.method, emit_every=emit
+            system, p, args.dt, args.steps, method=args.method, emit_every=emit
         )
     )
     t0 = time.perf_counter()
@@ -83,8 +102,8 @@ def main(argv=None) -> int:
     traj_twin = run(ph_twin)
     jax.block_until_ready(traj_twin.q)
 
-    lam = np.asarray(lyapunov_estimate(ex.system, traj, traj_twin, args.dt * emit))
-    drift = np.asarray(energy_drift(ex.system, traj))
+    lam = np.asarray(lyapunov_estimate(system, traj, traj_twin, args.dt * emit))
+    drift = np.asarray(energy_drift(system, traj))
 
     out = {
         "batch": b,
@@ -98,6 +117,13 @@ def main(argv=None) -> int:
         "max_energy_drift": float(drift.max()),
         "devices": len(devs),
     }
+    if m2_grid is not None:
+        # member i carries mass m2_grid[i % G] → (IC, mass) reshape
+        lam_by_mass = lam.reshape(-1, args.mass_grid)
+        out["mass_grid_m2"] = [float(m) for m in np.asarray(m2_grid)]
+        out["chaotic_fraction_by_mass"] = [
+            float(f) for f in (lam_by_mass > 0.05).mean(axis=0)
+        ]
     if args.json:
         print(json.dumps(out))
         return 0
@@ -109,6 +135,10 @@ def main(argv=None) -> int:
     print(f"  λ̂ (largest Lyapunov) mean {out['lyapunov_mean']:.3f}, "
           f"max {out['lyapunov_max']:.3f}")
     print(f"  chaotic fraction     {out['chaotic_fraction']:.1%}  (λ̂ > 0.05)")
+    if m2_grid is not None:
+        print("  chaotic fraction by m₂ (params sweep):")
+        for m, f in zip(out["mass_grid_m2"], out["chaotic_fraction_by_mass"]):
+            print(f"    m₂ = {m:5.2f}: {f:6.1%} " + "#" * int(30 * f))
     # coarse histogram of λ̂ across the IC sweep
     lo, hi = lam.min(), lam.max()
     if hi > lo:

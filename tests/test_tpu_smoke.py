@@ -119,3 +119,42 @@ def test_fused_step_kernel_on_device(tpu):
     np.testing.assert_allclose(
         np.asarray(fused.q), np.asarray(lib.q), rtol=0, atol=5e-4
     )
+
+
+def test_fused_params_sweep_on_device(tpu):
+    """Runtime-operand mode on the real chip: per-member masses through the
+    fused kernel's coefficient tiles, compared against the library leapfrog
+    evolving the same swept system on-device."""
+    from hamilton_tpu.ensemble import evolve_ensemble_final
+    from hamilton_tpu.models import chain
+    from hamilton_tpu.state import Phase
+
+    rng = np.random.default_rng(9)
+    ex = chain(n_links=8)
+    system = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), ex.system)
+    b = 2048
+    sysb = system.replace_params({
+        "masses": jnp.asarray(0.5 + rng.random((b, 8)), dtype=jnp.float32),
+        "lengths": jnp.broadcast_to(system.params["lengths"], (b, 8)),
+        "gravity": jnp.asarray(4.0 + rng.random(b), dtype=jnp.float32),
+    })
+    ph = Phase(
+        jnp.tile(ex.init_phase.q.astype(jnp.float32), (b, 1)),
+        jnp.tile(ex.init_phase.p.astype(jnp.float32), (b, 1)),
+    )
+    fused, drift_f = jax.jit(
+        lambda ph: evolve_ensemble_final(
+            sysb, ph, 1e-3, 100, method="leapfrog_fused", iters=(3, 1),
+            drift_every=50, steps_per_call=50,
+        )
+    )(ph)
+    lib, _ = jax.jit(
+        lambda ph: evolve_ensemble_final(
+            sysb, ph, 1e-3, 100, method="leapfrog", iters=(3, 1),
+            drift_every=50,
+        )
+    )(ph)
+    assert float(jnp.max(drift_f)) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(fused.q), np.asarray(lib.q), rtol=0, atol=5e-4
+    )

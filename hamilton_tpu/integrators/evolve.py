@@ -90,12 +90,13 @@ def evolve_ham(
         raise ValueError(
             f"unknown {batch_mode=}; use 'shared' or 'per_member'"
         )
-    rhs = ham_rhs(system)
     y0 = phase0.flatten()
     ts = ts.astype(y0.dtype)
     h_init = (ts[1] - ts[0]) / 100.0 if h0 is None else jnp.asarray(h0, y0.dtype)
 
-    def run(y_start):
+    def run(sys_, y_start):
+        rhs = ham_rhs(sys_)
+
         def interval(carry, t_pair):
             y, h = carry
             t_lo, t_hi = t_pair
@@ -109,12 +110,29 @@ def evolve_ham(
         return jnp.concatenate([y_start[None], ys], axis=0)
 
     if batch_mode == "per_member" and y0.ndim > 1:
+        # Each member gets its own controller AND (for batched params) its
+        # own physics: the params-mapped vmaps are innermost so the params
+        # batch axes pair with the trailing state batch axes, like
+        # everything params-batched (mechanics._map_member).
+        pb = system.param_batch_ndim()
+        if pb > y0.ndim - 1:
+            raise ValueError(
+                f"params carry {pb} batch axes but the state has only "
+                f"{y0.ndim - 1}"
+            )
+        leaves, treedef = jax.tree_util.tree_flatten(system)
+        params_ids = {id(l) for l in jax.tree_util.tree_leaves(system.params)}
+        sys_axes = jax.tree_util.tree_unflatten(
+            treedef, [0 if id(l) in params_ids else None for l in leaves]
+        )
         vrun = run
-        for _ in range(y0.ndim - 1):
-            vrun = jax.vmap(vrun)
-        ys = jnp.moveaxis(vrun(y0), -2, 0)  # time axis back to the front
+        for _ in range(pb):
+            vrun = jax.vmap(vrun, in_axes=(sys_axes, 0))
+        for _ in range(y0.ndim - 1 - pb):
+            vrun = jax.vmap(vrun, in_axes=(None, 0))
+        ys = jnp.moveaxis(vrun(system, y0), -2, 0)  # time axis to the front
     else:
-        ys = run(y0)
+        ys = run(system, y0)
     return Phase.unflatten(ys)
 
 

@@ -137,3 +137,45 @@ class TestLegacyClosureSystems:
         for ex in (chain(n_links=3), double_pendulum()):
             children, _aux = ex.system.tree_flatten()
             assert children[0] is None  # inertia derived, not stored
+
+
+class TestAdaptiveSweeps:
+    def test_per_member_adaptive_sweep_matches_independent_runs(self):
+        """evolve_ham(batch_mode='per_member') with batched params: each
+        member carries its own controller AND its own physics — step-for-
+        step identical to independent single runs on fresh systems."""
+        from hamilton_tpu.integrators.evolve import evolve_ham
+
+        b = 3
+        ex = double_pendulum()
+        m2s = (0.5, 1.0, 2.0)
+        sysb = ex.system.replace_params(
+            {"m1": jnp.ones(b), "m2": jnp.asarray(m2s)}
+        )
+        ph = Phase(jnp.tile(ex.init_phase.q, (b, 1)),
+                   jnp.tile(ex.init_phase.p, (b, 1)))
+        ts = jnp.linspace(0.0, 0.4, 5)
+        out = evolve_ham(sysb, ph, ts, batch_mode="per_member")
+        for i, m2 in enumerate(m2s):
+            ref = evolve_ham(double_pendulum(1.0, m2).system,
+                             ex.init_phase, ts)
+            np.testing.assert_allclose(
+                np.asarray(out.q[:, i]), np.asarray(ref.q),
+                rtol=0, atol=1e-13,
+            )
+
+    def test_shared_adaptive_sweep_runs(self):
+        """Shared lock-step controller over a swept batch (worst-member
+        error norm) stays finite and close to the per-member physics."""
+        from hamilton_tpu.integrators.evolve import evolve_ham
+
+        b = 3
+        ex = double_pendulum()
+        sysb = ex.system.replace_params(
+            {"m1": jnp.ones(b), "m2": jnp.linspace(0.5, 2.0, b)}
+        )
+        ph = Phase(jnp.tile(ex.init_phase.q, (b, 1)),
+                   jnp.tile(ex.init_phase.p, (b, 1)))
+        out = evolve_ham(sysb, ph, jnp.linspace(0.0, 0.4, 5))
+        assert out.q.shape == (5, b, 2)
+        assert bool(jnp.all(jnp.isfinite(out.q)))

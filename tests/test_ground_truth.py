@@ -194,3 +194,78 @@ class TestOrderOfConvergence:
             errs.append(float(jnp.max(jnp.abs(yerr))))
         observed = np.log2(errs[0] / errs[1])
         assert observed > 4.5  # local error estimate ~ O(h^5)
+
+
+class TestSymplecticity:
+    """The symplectic members' step maps must satisfy (dPhi)^T J (dPhi) = J
+    (the defining structural property; RK4 must fail it) — computed with
+    jax.jacfwd through one step on the double pendulum."""
+
+    @pytest.mark.parametrize(
+        "method,kw,symplectic",
+        [
+            ("leapfrog", dict(iters=(12, 10)), True),
+            ("gauss4", dict(iters=16), True),
+            ("rk4", dict(), False),
+        ],
+    )
+    def test_step_jacobian_preserves_symplectic_form(self, method, kw,
+                                                     symplectic):
+        ex = double_pendulum()
+        system = ex.system
+        ph0 = ex.init_phase.astype(jnp.float64)
+        n = 2
+        dt = 0.05  # large enough that RK4's violation is visible
+
+        stepper = make_stepper(system, method, **kw)
+
+        def step_map(z):
+            ph = Phase(z[:n], z[n:])
+            c = stepper.init(ph)
+            c = stepper.step(c, jnp.float64(dt))
+            out = stepper.extract(c)
+            return jnp.concatenate([out.q, out.p])
+
+        z0 = jnp.concatenate([ph0.q, ph0.p])
+        dphi = jax.jacfwd(step_map)(z0)
+        jmat = jnp.block([
+            [jnp.zeros((n, n)), jnp.eye(n)],
+            [-jnp.eye(n), jnp.zeros((n, n))],
+        ])
+        resid = float(jnp.max(jnp.abs(dphi.T @ jmat @ dphi - jmat)))
+        if symplectic:
+            # residual floor set by the finite fixed-point iteration counts
+            assert resid < 1e-8, f"{method}: symplectic residual {resid:.2e}"
+        else:
+            assert resid > 1e-8  # RK4 is not symplectic
+
+    def test_tao2_symplectic_in_extended_phase_space(self):
+        """Tao's method is symplectic in the EXTENDED space (q, x; p, y) —
+        the (q, p) projection (the averaging in extract) is not, which is
+        expected and documented (PRE 94, 043303 (2016)).  Verify the
+        extended step map preserves the canonical form with coordinates
+        ordered (q, x) positions, (p, y) momenta."""
+        from hamilton_tpu.integrators.fixed import _TaoState
+
+        ex = double_pendulum()
+        ph0 = ex.init_phase.astype(jnp.float64)
+        n = 2
+        dt = 0.05
+        stepper = make_stepper(ex.system, "tao2", omega=100.0)
+
+        def step_map(z):
+            st = _TaoState(q=z[0:n], x=z[n:2 * n],
+                           p=z[2 * n:3 * n], y=z[3 * n:4 * n])
+            st = stepper.step(st, jnp.float64(dt))
+            return jnp.concatenate([st.q, st.x, st.p, st.y])
+
+        # a general extended point: copies slightly separated
+        z0 = jnp.concatenate([
+            ph0.q, ph0.q + 1e-3, ph0.p, ph0.p - 1e-3,
+        ])
+        dphi = jax.jacfwd(step_map)(z0)
+        eye = jnp.eye(2 * n)
+        zero = jnp.zeros((2 * n, 2 * n))
+        jmat = jnp.block([[zero, eye], [-eye, zero]])
+        resid = float(jnp.max(jnp.abs(dphi.T @ jmat @ dphi - jmat)))
+        assert resid < 1e-12, f"tao2 extended-space residual {resid:.2e}"

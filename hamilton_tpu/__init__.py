@@ -84,7 +84,7 @@ from hamilton_tpu.ensemble import (
     evolve_ensemble_sharded,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Config",

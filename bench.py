@@ -150,12 +150,20 @@ def phase_throughput(args):
 
 
 def phase_margin(args):
-    """Second full-horizon datapoint with a high drift margin (VERDICT r2):
-    ``yoshida4_fused`` — the 4th-order composition executed inside the fused
-    kernel — at the headline shape over the FULL horizon, with on-device f64
-    drift sampling.  The headline leapfrog point rides a ~1.7× margin under
-    the 1e-6 bound; this point documents the fallback with a far larger
-    margin (order 4: the dt³ error term is gone) and its throughput cost.
+    """Second full-horizon datapoint (VERDICT r2): ``yoshida4_fused`` — the
+    4th-order composition executed inside the fused kernel — at the headline
+    shape over the FULL horizon, with on-device f64 drift sampling.
+
+    Measured full-horizon A/B (docs/design.md round-3): iters=(2,1) leaves
+    the larger Yoshida substeps' fixed points under-converged (2.29e-6 —
+    over the bound); (3,2) converges to 5.58e-7 at 44e6 member-steps/s.
+    At f32+Kahan every converged config lands at the same ~6e-7 rounding
+    floor (leapfrog (2,1) 5.80e-7, (3,1) 8.28e-7, y4 (3,2) 5.58e-7): the
+    remaining drift is evaluation-point rounding — c < ulp(q) cannot enter
+    an f32 trig evaluation — not truncation; the f64 ground truth at the
+    same horizon is 6.9e-14.  A ≥10× under-bound f32 margin is therefore
+    not reachable for ANY integrator at this shape; the margin story is
+    the pair (f32 floor ≈ 6e-7 < 1e-6, f64 truncation 6.9e-14).
     """
     from hamilton_tpu.ensemble import evolve_ensemble_chunked
 
@@ -173,7 +181,7 @@ def phase_margin(args):
         system, ph = _build(args.batch, jnp.float32)
         final, drift = evolve_ensemble_chunked(
             system, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
-            method="yoshida4_fused", iters=(2, 1), compensated=True,
+            method="yoshida4_fused", iters=(3, 2), compensated=True,
             drift_every=min(1000, chunk_steps), drift_dtype=jnp.float64,
             callback=on_chunk, steps_per_call=args.steps_per_call,
         )

@@ -175,11 +175,13 @@ class TestFusedStep:
         ex = chain(n_links=4)
         dt = jnp.float64(1e-3)
         gs = make_stepper(ex.system, "leapfrog_fused", iters=(2, 0))
+
+        @jax.jit
+        def run50(c):  # one trace of the kernel, not 50 (interpreter cost)
+            return jax.lax.fori_loop(0, 50, lambda i, cc: gs.step(cc, dt), c)
+
         with pltpu.force_tpu_interpret_mode():
-            c = gs.init(ph4)
-            for _ in range(50):
-                c = gs.step(c, dt)
-            out = gs.extract(c)
+            out = gs.extract(run50(gs.init(ph4)))
         h0 = hamiltonian(ex.system, ph4)
         h1 = hamiltonian(ex.system, out)
         drift = float(jnp.max(jnp.abs((h1 - h0) / h0)))
@@ -217,12 +219,16 @@ class TestFusedStep:
         fus = make_stepper(ex.system, "yoshida4_fused", iters=(6, 4))
         assert fus.order == 4 and fus.symplectic
         c_lib = lib.init(ph4)
+        for _ in range(3):
+            c_lib = lib.step(c_lib, dt)
+        a = lib.extract(c_lib)
+
+        @jax.jit
+        def run3(c):  # one interpreter trace of the composed kernel
+            return jax.lax.fori_loop(0, 3, lambda i, cc: fus.step(cc, dt), c)
+
         with pltpu.force_tpu_interpret_mode():
-            c_fus = fus.init(ph4)
-            for _ in range(3):
-                c_lib = lib.step(c_lib, dt)
-                c_fus = fus.step(c_fus, dt)
-            a, b = lib.extract(c_lib), fus.extract(c_fus)
+            b = fus.extract(run3(fus.init(ph4)))
         np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
                                    rtol=0, atol=1e-11)
         np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),

@@ -520,17 +520,35 @@ def serial_chain_stepper(
         state = tuple(
             tuple(a[:, i] for i in range(n)) for a in arrays
         )
+        import os
+
+        # Loop strategy for steps 1..S-1 of the replay.  Default is an
+        # UNROLLED chain of checkpointed steps: reverse-differentiating a
+        # lax.scan of this body never finished compiling through this
+        # environment's remote TPU compile service (>20 min observed at
+        # spc=5, chain-4 — both with and without per-step checkpoint),
+        # while the unrolled chain compiles in ~1 min and the checkpoint
+        # keeps backward memory at one step's activations
+        # (docs/design.md round-3).  HAMILTON_REPLAY_LOOP selects
+        # "scan"/"scan_ckpt" for backends where reverse-scan compiles fine.
+        strategy = os.environ.get("HAMILTON_REPLAY_LOOP", "unroll_ckpt")
         state, fac = jax.checkpoint(lambda st: step_once(st, None))(state)
         if steps_per_call > 1:
-            def body(carry, _):
-                st, fc = carry
-                st, fc = step_once(st, fc)
-                return (st, fc), None
+            if strategy == "unroll_ckpt":
+                step_ck = jax.checkpoint(step_once)
+                for _ in range(steps_per_call - 1):
+                    state, fac = step_ck(state, fac)
+            else:
+                def body(carry, _):
+                    st, fc = carry
+                    st, fc = step_once(st, fc)
+                    return (st, fc), None
 
-            (state, fac), _ = jax.lax.scan(
-                jax.checkpoint(body), (state, fac), None,
-                length=steps_per_call - 1,
-            )
+                if strategy == "scan_ckpt":
+                    body = jax.checkpoint(body)
+                (state, fac), _ = jax.lax.scan(
+                    body, (state, fac), None, length=steps_per_call - 1,
+                )
         outs = tuple(
             _to_tiles(jnp.stack(cols, axis=1)) for cols in state
         )

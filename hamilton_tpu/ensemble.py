@@ -337,18 +337,7 @@ def evolve_ensemble_sharded(
         # per-leaf spec pytree with the System's own structure: params
         # leaves shard their leading (member) axis along the ensemble mesh
         # axis; the inertia leaf (if any) stays replicated
-        children, _aux = system.tree_flatten()
-        inertia_leaf, params = children
-        spec_children = (
-            jax.tree_util.tree_map(lambda _: P(), inertia_leaf),
-            jax.tree_util.tree_map(lambda _: P(axis), params),
-        )
-        system_spec = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(system),
-            jax.tree_util.tree_leaves(
-                spec_children, is_leaf=lambda x: isinstance(x, P)
-            ),
-        )
+        system_spec = system.params_axes_tree(P(axis), P())
     else:
         raise ValueError(
             f"sharded parameter sweeps support one params batch axis, "

@@ -120,11 +120,7 @@ def evolve_ham(
                 f"params carry {pb} batch axes but the state has only "
                 f"{y0.ndim - 1}"
             )
-        leaves, treedef = jax.tree_util.tree_flatten(system)
-        params_ids = {id(l) for l in jax.tree_util.tree_leaves(system.params)}
-        sys_axes = jax.tree_util.tree_unflatten(
-            treedef, [0 if id(l) in params_ids else None for l in leaves]
-        )
+        sys_axes = system.params_axes_tree(0, None)
         vrun = run
         for _ in range(pb):
             vrun = jax.vmap(vrun, in_axes=(sys_axes, 0))

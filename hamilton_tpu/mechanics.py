@@ -51,13 +51,6 @@ __all__ = [
 ]
 
 
-def _vmap_leading(fn, ndim: int):
-    """vmap ``fn`` over ``ndim`` leading batch axes."""
-    for _ in range(ndim):
-        fn = jax.vmap(fn)
-    return fn
-
-
 def _map_member(system: System, fn, *args):
     """Map a member-level ``fn(*member_args, params)`` over the leading batch
     axes of ``args`` (each ``(..., n)``-shaped, batch shapes equal).

@@ -35,7 +35,9 @@ carries a leading batch axis — a **parameter sweep** — the coefficients are
 materialized per member as ``(G, n², 8, 128)`` / ``(G, n, 8, 128)`` tile
 operands computed once at ``init`` and carried alongside the state, so a
 16k (IC × mass-grid) ensemble runs through the same fused kernel with
-per-member physics (the reference parameterizes every example,
+per-member physics.  Traced-but-unbatched (shared) parameters get a single
+``(1, …)`` tile group whose block-index map reuses block 0 for every grid
+step — gradients w.r.t. scalar masses don't pay B-fold coefficient traffic (the reference parameterizes every example,
 ``app/Examples.hs:195-359``; masses are plain data,
 ``Numeric/Hamilton.hs:201-215``).
 
@@ -462,7 +464,15 @@ def serial_chain_stepper(
     def _call(dt_tile, ops):
         g = ops[n_par].shape[0]
 
-        def vec_spec(k):
+        def vec_spec(k, shared=False):
+            # ``shared``: a single-group operand (params identical for every
+            # member) — every grid step reads block 0 instead of carrying
+            # B-fold redundant per-member copies through HBM
+            if shared:
+                return pl.BlockSpec(
+                    (1, k, 8, 128), lambda gg: (gg * 0,) * 4,
+                    memory_space=pltpu.VMEM,
+                )
             return pl.BlockSpec(
                 (1, k, 8, 128), lambda gg: (gg, gg * 0, gg * 0, gg * 0),
                 memory_space=pltpu.VMEM,
@@ -471,7 +481,11 @@ def serial_chain_stepper(
         dt_spec = pl.BlockSpec(
             (8, 128), lambda gg: (gg * 0, gg * 0), memory_space=pltpu.VMEM
         )
-        param_specs = [vec_spec(n * n), vec_spec(n)] if n_par else []
+        param_specs = (
+            [vec_spec(n * n, ops[0].shape[0] == 1),
+             vec_spec(n, ops[1].shape[0] == 1)]
+            if n_par else []
+        )
         state_specs = [vec_spec(n)] * n_sv
 
         def sds(t):
@@ -503,8 +517,14 @@ def serial_chain_stepper(
         if static_mode:
             increments = increments_static
         else:
-            cm_cols = _from_tiles(ops[0])  # (B, n²)
+            cm_cols = _from_tiles(ops[0])  # (B, n²) — or (1024, n²) shared
             gu_cols = _from_tiles(ops[1])  # (B, n)
+            if cm_cols.shape[0] != b:
+                # shared single-group operands: every lane holds the same
+                # value; keep lane 0 as a length-1 column that broadcasts
+                # over members (its cotangent lands in lane 0, and init's
+                # broadcast_to sums lanes, so parameter grads are exact)
+                cm_cols, gu_cols = cm_cols[:1], gu_cols[:1]
             increments = make_increments(
                 lambda i, j: cm_cols[:, i * n + j],
                 lambda i: gu_cols[:, i],
@@ -596,13 +616,20 @@ def serial_chain_stepper(
             state = (qt, pt, z, jnp.zeros_like(pt), z, z)
         if static_mode:
             return state
-        # runtime-parameter mode: materialize the per-member coefficient
-        # tiles once; they ride the carry (read-only) so chunked/resumed
-        # drivers keep them with the state
+        # runtime-parameter mode: materialize the coefficient tiles once;
+        # they ride the carry (read-only) so chunked/resumed drivers keep
+        # them with the state.  Unbatched (shared) params — e.g. gradients
+        # w.r.t. scalar masses, or a system passed as a traced jit argument
+        # — get ONE tile group reused by every grid step instead of B-fold
+        # per-member copies.
         b = ph.q.shape[0]
         cmat, gu = coef_arrays(ph.q.dtype)
-        cm_b = jnp.broadcast_to(cmat, (b, n, n)).reshape(b, n * n)
-        gu_b = jnp.broadcast_to(gu, (b, n))
+        if cmat.ndim == 2 and gu.ndim == 1:
+            cm_b = jnp.broadcast_to(cmat.reshape(1, n * n), (TILE_B, n * n))
+            gu_b = jnp.broadcast_to(gu.reshape(1, n), (TILE_B, n))
+        else:
+            cm_b = jnp.broadcast_to(cmat, (b, n, n)).reshape(b, n * n)
+            gu_b = jnp.broadcast_to(gu, (b, n))
         return state + (_to_tiles(cm_b), _to_tiles(gu_b))
 
     def step(carry, dt):

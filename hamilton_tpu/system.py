@@ -138,6 +138,12 @@ class System:
         if self.params is None:
             return 0
         leaves = jax.tree_util.tree_leaves(self.params)
+        if len(leaves) != len(self._params_ndim):
+            raise ValueError(
+                f"params leaf count changed since construction "
+                f"({len(leaves)} != {len(self._params_ndim)}) — params edits "
+                f"must preserve the pytree structure (use replace_params)"
+            )
         pbs = {
             jnp.ndim(leaf) - base
             for leaf, base in zip(leaves, self._params_ndim)
@@ -155,6 +161,25 @@ class System:
                 "params edits must preserve each leaf's base shape"
             )
         return pb
+
+    def params_axes_tree(self, params_mark, other_mark=None):
+        """A System-shaped pytree with ``params_mark`` at every ``params``
+        leaf and ``other_mark`` at every other leaf (the concrete inertia
+        leaf, when present) — the building block for ``vmap`` ``in_axes``
+        and ``shard_map``/``NamedSharding`` spec trees that batch or shard
+        only the parameters.
+
+        Built positionally from the flatten order (children are
+        ``(inertia, params)``, so the params leaves are the trailing ones),
+        not by leaf identity — a user passing the same array object as both
+        the inertia and a params leaf still gets the correct marks.
+        """
+        leaves, treedef = jax.tree_util.tree_flatten(self)
+        n_params = len(jax.tree_util.tree_leaves(self.params))
+        n_other = len(leaves) - n_params
+        return jax.tree_util.tree_unflatten(
+            treedef, [other_mark] * n_other + [params_mark] * n_params
+        )
 
     def _member_params(self, params):
         """Resolve the params to use for a single-member call: an explicit
@@ -296,6 +321,16 @@ class System:
         may carry extra leading batch axes — the sweep entry point)."""
         if self.params is None:
             raise ValueError(f"system {self.name!r} carries no params")
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        old_def = jax.tree_util.tree_structure(self.params)
+        new_def = jax.tree_util.tree_structure(params)
+        if new_def != old_def:
+            raise ValueError(
+                f"replace_params: new params structure {new_def} does not "
+                f"match the system's {old_def} — every construction-time "
+                f"leaf must be present (batch axes go on the leaves, not "
+                f"the structure)"
+            )
         children, aux = self.tree_flatten()
         new = type(self).tree_unflatten(aux, (children[0], params))
         new.param_batch_ndim()  # validate leaf-batching consistency now

@@ -110,6 +110,53 @@ class TestFusedStep:
             c = fus.init(ph)
         assert len(c) == 4
 
+    def test_shared_traced_params_single_group_tiles(self):
+        """Traced-but-unbatched params (shared physics, e.g. under jit with
+        the system as an argument) use ONE coefficient tile group reused by
+        every grid step — not B-fold per-member copies — and still match the
+        library leapfrog on a multi-group batch."""
+        rng = np.random.default_rng(11)
+        b2 = 2 * B  # two tile groups: exercises the block-0-reuse index map
+        ex = chain(n_links=4)
+        ph = Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((b2, 4))),
+                   jnp.asarray(0.01 * rng.standard_normal((b2, 4))))
+        dt = jnp.float64(1e-3)
+
+        def run_fused(masses):
+            sysb = ex.system.replace_params({
+                "masses": masses,
+                "lengths": ex.system.params["lengths"],
+                "gravity": ex.system.params["gravity"],
+            })
+            fus = make_stepper(sysb, "leapfrog_fused", iters=(6, 4))
+            c = fus.init(ph)
+            # state tiles carry both groups; the coefficient tiles carry one
+            assert c[0].shape[0] == 2 and c[-2].shape[0] == 1
+            assert c[-1].shape[0] == 1
+            for _ in range(2):
+                c = fus.step(c, dt)
+            return fus.extract(c)
+
+        masses = jnp.asarray([1.0, 0.7, 1.3, 0.9])
+        with pltpu.force_tpu_interpret_mode():
+            out = jax.jit(run_fused)(masses)
+        lib = make_stepper(
+            ex.system.replace_params({
+                "masses": masses,
+                "lengths": ex.system.params["lengths"],
+                "gravity": ex.system.params["gravity"],
+            }),
+            "leapfrog", iters=(6, 4),
+        )
+        c_lib = lib.init(ph)
+        for _ in range(2):
+            c_lib = lib.step(c_lib, dt)
+        ref = lib.extract(c_lib)
+        np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q),
+                                   rtol=0, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                                   rtol=0, atol=1e-13)
+
     @pytest.mark.parametrize("model", ["pendulum", "double_pendulum"])
     def test_family_members_match_library(self, model):
         """Pendulum and double pendulum are the n=1 / n=2 members of the

@@ -70,6 +70,65 @@ class TestBatchingRules:
                 {"m1": jnp.ones((4, 2)), "m2": jnp.ones(4)}
             )
 
+    def test_replace_params_rejects_structure_change(self):
+        """A params pytree missing construction-time leaves (or carrying
+        extra ones) must be rejected loudly — zipping a truncated leaf list
+        against the stored base ndims would otherwise fabricate a bogus
+        batch ndim (e.g. an unbatched single-leaf dict 'passing' as a
+        1-axis sweep)."""
+        ex = double_pendulum()
+        with pytest.raises(ValueError, match="structure"):
+            ex.system.replace_params({"m1": jnp.ones((5, 2))})  # m2 missing
+        with pytest.raises(ValueError, match="structure"):
+            ex.system.replace_params({"m1": jnp.ones(2)})  # unbatched, m2 missing
+        with pytest.raises(ValueError, match="structure"):
+            ex.system.replace_params(
+                {"m1": jnp.ones(2), "m2": jnp.ones(2), "extra": jnp.ones(2)}
+            )
+
+    def test_leaf_count_change_via_pytree_surgery_raises(self):
+        """Structure edits that bypass replace_params still fail at first
+        param_batch_ndim() use instead of silently mis-zipping."""
+        ex = double_pendulum()
+        children, aux = ex.system.tree_flatten()
+        bad = type(ex.system).tree_unflatten(
+            aux, (children[0], {"m1": jnp.ones((5, 2))})
+        )
+        with pytest.raises(ValueError, match="leaf count"):
+            bad.param_batch_ndim()
+
+    def test_params_axes_tree_marks_positionally(self):
+        """params_axes_tree marks params leaves (not the inertia leaf) even
+        when the SAME array object is passed as both the inertia and a
+        params leaf — id()-based marking would mislabel the alias."""
+        from hamilton_tpu.integrators.evolve import evolve_ham
+
+        m = jnp.ones(2)
+        sys_alias = mk_system(
+            m,
+            lambda q, p: q * p["m"],
+            lambda q, p: 0.5 * jnp.sum(q**2),
+            n=2,
+            params={"m": m},
+        )
+        axes = sys_alias.params_axes_tree(0, None)
+        leaves, _ = jax.tree_util.tree_flatten(sys_alias)
+        marks = jax.tree_util.tree_leaves(
+            axes, is_leaf=lambda x: x is None
+        )
+        # flatten order is (inertia, params): inertia unmarked, params marked
+        assert len(leaves) == 2
+        assert marks == [None, 0]
+        # and the per-member adaptive path accepts the aliased system
+        b = 3
+        sysb = sys_alias.replace_params({"m": jnp.ones((b, 2))})
+        ph = Phase(jnp.tile(jnp.asarray([0.3, -0.2]), (b, 1)),
+                   jnp.tile(jnp.asarray([0.1, 0.4]), (b, 1)))
+        out = evolve_ham(sysb, ph, jnp.linspace(0.0, 0.2, 3),
+                         batch_mode="per_member")
+        assert out.q.shape == (3, b, 2)
+        assert bool(jnp.all(jnp.isfinite(out.q)))
+
     def test_member_level_call_on_batched_params_raises(self):
         """System.jacobian / potential_grad on a batched-params system must
         refuse rather than silently bind the whole batch to one member."""

@@ -80,6 +80,7 @@ from hamilton_tpu.integrators.evolve import (
 )
 from hamilton_tpu.ensemble import (
     evolve_ensemble,
+    evolve_ensemble_chunked,
     evolve_ensemble_final,
     evolve_ensemble_sharded,
 )
@@ -112,6 +113,7 @@ __all__ = [
     "evolve_ham_c",
     "evolve_ham_c_list",
     "evolve_ensemble",
+    "evolve_ensemble_chunked",
     "evolve_ensemble_final",
     "evolve_ensemble_sharded",
     "QFactor",

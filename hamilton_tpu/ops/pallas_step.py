@@ -35,11 +35,12 @@ carries a leading batch axis — a **parameter sweep** — the coefficients are
 materialized per member as ``(G, n², 8, 128)`` / ``(G, n, 8, 128)`` tile
 operands computed once at ``init`` and carried alongside the state, so a
 16k (IC × mass-grid) ensemble runs through the same fused kernel with
-per-member physics.  Traced-but-unbatched (shared) parameters get a single
-``(1, …)`` tile group whose block-index map reuses block 0 for every grid
-step — gradients w.r.t. scalar masses don't pay B-fold coefficient traffic (the reference parameterizes every example,
+per-member physics (the reference parameterizes every example,
 ``app/Examples.hs:195-359``; masses are plain data,
-``Numeric/Hamilton.hs:201-215``).
+``Numeric/Hamilton.hs:201-215``).  Traced-but-unbatched (shared) parameters
+get a single ``(1, …)`` tile group whose block-index map reuses block 0 for
+every grid step, so gradients w.r.t. scalar masses don't pay B-fold
+coefficient traffic.
 
 **The fused step is differentiable.**  The kernel itself is an opaque Mosaic
 program, so reverse-mode runs through an *exact replay*: a pure-jnp mirror

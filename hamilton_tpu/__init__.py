@@ -84,6 +84,7 @@ from hamilton_tpu.ensemble import (
     evolve_ensemble_final,
     evolve_ensemble_sharded,
 )
+from hamilton_tpu import utils  # noqa: F401 — expose ht.utils.* (observables etc.)
 
 __version__ = "0.3.0"
 

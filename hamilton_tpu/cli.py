@@ -77,6 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-color", action="store_true", help="disable ANSI colors")
     p.add_argument(
+        "--platform",
+        choices=("cpu", "default"),
+        default="cpu",
+        help="'cpu' (default) pins the interactive loop to the host in f64 — "
+        "single-trajectory adaptive stepping is measured faster there than "
+        "on-device (docs/design.md round-3: 5.5 s host vs 25.7 s TPU for the "
+        "t<=1 chain-20 solve; the GSL eps 1.49e-08 needs f64 anyway); "
+        "'default' leaves the JAX platform list untouched (accelerator runs)",
+    )
+    p.add_argument(
         "--method",
         default="rkf45",
         help="integrator: rkf45 (GSL-parity adaptive, default), dopri5, or a "
@@ -365,6 +375,12 @@ def _run_interactive(example, args) -> int:  # pragma: no cover - needs a tty
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform == "cpu":
+        # Must happen before the first jnp array materializes a backend.
+        # This wins even over site hooks that force an accelerator platform
+        # list in-process (jax.config beats the env var).
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)  # reference runs Double
     example = _example_from_args(args)
     if args.frames is not None:
         return _run_headless(example, args)

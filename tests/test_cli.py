@@ -62,6 +62,14 @@ class TestParser:
         with pytest.raises(SystemExit):
             _example_from_args(args)
 
+    def test_platform_defaults_to_cpu(self):
+        """Interactive/single-trajectory work is measured faster on the host
+        (docs/design.md round-3 adaptive numbers), so the CLI pins CPU unless
+        the user opts out with --platform default."""
+        assert build_parser().parse_args([]).platform == "cpu"
+        args = build_parser().parse_args(["--platform", "default", "pend"])
+        assert args.platform == "default"
+
     def test_sim_opts_defaults(self):
         """SO 0.5 1 25 (app/Examples.hs:387)."""
         o = SimOpts()

@@ -429,3 +429,21 @@ class TestFreeParticle:
         np.testing.assert_allclose(
             np.asarray(out.q[2]), [0.6, -0.8], atol=1e-9
         )
+
+
+class TestFitMassesExample:
+    def test_recovers_masses_library_path(self):
+        """examples/fit_masses.py end-to-end (library leapfrog, CPU): the
+        trajectory-misfit gradient through the symplectic scan recovers the
+        hidden per-link masses.  Exercises reverse-mode through evolution —
+        the capability the reference's construction-time-only AD lacks."""
+        import importlib.util
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "examples", "fit_masses.py")
+        spec = importlib.util.spec_from_file_location("fit_masses", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        # rc 0 asserts max |m - m_true| < 0.05 after the fit
+        assert mod.main(["--iters", "60", "--steps", "120"]) == 0

@@ -91,21 +91,26 @@ def main(argv=None) -> int:
         })
 
     if args.fused:
-        # fused-kernel path: tile batch of identical members; masses stay a
+        # Fused-kernel path: tile batch of identical members; masses stay a
         # traced (shared) vector, so the kernel runs in its single-group
-        # runtime-operand mode and the custom VJP replays the exact blocks
+        # runtime-operand mode and the custom VJP replays the exact block.
+        # ONE multi-step kernel block, loss on the final (q, p) — 2n
+        # constraints for n masses.  One Mosaic kernel instance per jit is
+        # deliberate: every extra pallas_call instance in the graph is a
+        # separate kernel compile, and remote-compile relays (this
+        # environment) serialize them at 30 s-6 min EACH (docs/design.md
+        # "Compile-latency realities"); the trajectory-style fit stays the
+        # library path's job.
         b = 1024
+        fused_steps = min(n_steps, 24)
         phb = Phase(jnp.tile(ph0.q, (b, 1)), jnp.tile(ph0.p, (b, 1)))
 
         def simulate(m):
             st = make_stepper(with_masses(m), "leapfrog_fused",
-                              iters=(3, 1), steps_per_call=emit)
-            c = st.init(phb)
-            qs = []
-            for _ in range(n_steps // emit):
-                c = st.step(c, jnp.asarray(args.dt, dtype))
-                qs.append(st.extract(c).q[0])
-            return jnp.stack(qs)
+                              iters=(3, 1), steps_per_call=fused_steps)
+            c = st.step(st.init(phb), jnp.asarray(args.dt, dtype))
+            out = st.extract(c)
+            return jnp.concatenate([out.q[0], out.p[0]])
     else:
 
         def simulate(m):
@@ -115,29 +120,41 @@ def main(argv=None) -> int:
             )
             return out.q[1:]
 
-    q_obs = jax.lax.stop_gradient(simulate(true_masses))
+    from contextlib import nullcontext
 
-    def loss(m):
-        return jnp.mean((simulate(m) - q_obs) ** 2)
+    ctx = nullcontext()
+    if args.fused and jax.default_backend() == "cpu":
+        from jax.experimental.pallas import tpu as pltpu
 
-    opt = optax.adam(args.lr)
-    m0 = jnp.ones(4, dtype)  # uninformed initial guess
+        ctx = pltpu.force_tpu_interpret_mode()
 
-    @jax.jit
-    def update(m, opt_state):
-        val, g = jax.value_and_grad(loss)(m)
-        upd, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(m, upd), opt_state, val
+    with ctx:
+        # jit so the true-mass forward traces its masses like the fit does
+        # (fused mode: the SAME shared-traced kernel variant, one Mosaic
+        # compile)
+        q_obs = jax.lax.stop_gradient(jax.jit(simulate)(true_masses))
 
-    m, opt_state = m0, opt.init(m0)
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        m, opt_state, val = update(m, opt_state)
-        if i % max(args.iters // 10, 1) == 0:
-            print(f"iter {i:4d}  loss {float(val):.3e}  "
-                  f"masses {[round(float(x), 4) for x in m]}")
-    jax.block_until_ready(m)
-    el = time.perf_counter() - t0
+        def loss(m):
+            return jnp.mean((simulate(m) - q_obs) ** 2)
+
+        opt = optax.adam(args.lr)
+        m0 = jnp.ones(4, dtype)  # uninformed initial guess
+
+        @jax.jit
+        def update(m, opt_state):
+            val, g = jax.value_and_grad(loss)(m)
+            upd, opt_state = opt.update(g, opt_state)
+            return optax.apply_updates(m, upd), opt_state, val
+
+        m, opt_state = m0, opt.init(m0)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            m, opt_state, val = update(m, opt_state)
+            if i % max(args.iters // 10, 1) == 0:
+                print(f"iter {i:4d}  loss {float(val):.3e}  "
+                      f"masses {[round(float(x), 4) for x in m]}")
+        jax.block_until_ready(m)
+        el = time.perf_counter() - t0
 
     err = jnp.max(jnp.abs(m - true_masses))
     print(f"\ntrue masses      {[float(x) for x in true_masses]}")

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Chaos map of the double pendulum over an (angle × mass) parameter grid.
+
+The round-3 capability showcase: an (IC × parameter) ensemble on the native
+hot path.  Every grid cell is a double pendulum with its own initial angle
+θ₀ AND its own second-bob mass m₂ (a batched ``System.params`` sweep — the
+per-member physics rides the same kernels as a shared system), evolved as
+ONE ensemble, with the largest-Lyapunov-exponent estimate computed from
+paired perturbed trajectories (`utils.lyapunov_estimate`).  The reference
+can express none of this: its `System` is a closure record with baked
+masses and its driver integrates one trajectory at a time
+(``Numeric/Hamilton.hs:438-440``).
+
+Output: an ASCII heat map (rows = m₂, cols = θ₀) of λ_max.  The lower rows
+(light m₂) stay regular at small angles while the high-energy right side
+goes chaotic — the classic double-pendulum transition, now as one batched
+evaluation.
+
+Usage:
+    python examples/chaos_scan.py                    # CPU, 48×16 grid
+    python examples/chaos_scan.py --cols 64 --rows 24
+    python examples/chaos_scan.py --fused            # fused kernel (TPU),
+                                                     # grid padded to 1024
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RAMP = " .:-=+*#%@"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cols", type=int, default=48,
+                    help="θ₀ grid points (default 48)")
+    ap.add_argument("--rows", type=int, default=16,
+                    help="m₂ grid points (default 16)")
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--dt", type=float, default=5e-3)
+    ap.add_argument("--emit-every", type=int, default=40)
+    ap.add_argument("--eps", type=float, default=1e-7,
+                    help="initial separation of the trajectory pairs")
+    ap.add_argument("--fused", action="store_true",
+                    help="run the fused serial-chain kernel (accelerator; "
+                    "f32, batch padded to a multiple of 1024)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if not args.fused:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", not args.fused)
+
+    import jax.numpy as jnp
+
+    from hamilton_tpu.ensemble import evolve_ensemble
+    from hamilton_tpu.models import chain
+    from hamilton_tpu.state import Phase
+    from hamilton_tpu.utils.observables import lyapunov_estimate
+
+    dtype = jnp.float32 if args.fused else jnp.float64
+    rows, cols = args.rows, args.cols
+    b = rows * cols
+
+    # the reference double pendulum as the n=2 serial-chain family member:
+    # unit first arm, half-length second arm, gravity 5
+    # (app/Examples.hs:75-94) — m2 becomes the swept parameter
+    ex = chain(n_links=2, gravity=5.0)
+    arm_lengths = jnp.asarray([1.0, 0.5], dtype)
+
+    theta = jnp.linspace(0.15, jnp.pi - 0.15, cols, dtype=dtype)
+    m2 = jnp.linspace(0.2, 3.0, rows, dtype=dtype)
+    tg, mg = jnp.meshgrid(theta, m2)          # (rows, cols)
+    tg, mg = tg.reshape(-1), mg.reshape(-1)   # (b,)
+
+    pad = 0
+    if args.fused:
+        # fused kernel batches are register tiles of 1024 members; pad the
+        # PAIRED batch (2b) up and drop the padding after the run
+        pair_b = 2 * b
+        pad = (-pair_b) % 1024
+        method, iters = "leapfrog_fused", (3, 1)
+    else:
+        method, iters = "leapfrog", (3, 1)
+
+    def paired(x):
+        """[grid; grid(+eps); padding] along the batch axis."""
+        out = jnp.concatenate([x, x])
+        if pad:
+            out = jnp.concatenate([out, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+        return out
+
+    q0 = jnp.stack([tg, jnp.zeros_like(tg)], axis=-1)       # (b, 2)
+    q0 = paired(q0).at[b : 2 * b, 1].add(jnp.asarray(args.eps, dtype))
+    p0 = jnp.zeros_like(q0)
+
+    sysb = ex.system.replace_params({
+        "masses": paired(jnp.stack([jnp.ones_like(mg), mg], axis=-1)),
+        "lengths": paired(jnp.broadcast_to(arm_lengths, (b, 2))),
+        "gravity": paired(jnp.full((b,), 5.0, dtype)),
+    })
+
+    t0 = time.perf_counter()
+    traj = evolve_ensemble(
+        sysb, Phase(q0, p0), args.dt, args.steps,
+        method=method, iters=iters, emit_every=args.emit_every,
+    )
+    jax.block_until_ready(traj.q)
+    el = time.perf_counter() - t0
+
+    lam = lyapunov_estimate(
+        ex.system,
+        Phase(traj.q[:, :b], traj.p[:, :b]),
+        Phase(traj.q[:, b : 2 * b], traj.p[:, b : 2 * b]),
+        args.dt * args.emit_every,
+    ).reshape(rows, cols)
+
+    lam = jnp.nan_to_num(lam, nan=0.0)
+    lo, hi = float(jnp.min(lam)), float(jnp.max(lam))
+    span = max(hi - lo, 1e-12)
+    idx = jnp.clip(((lam - lo) / span * (len(RAMP) - 1)).astype(jnp.int32),
+                   0, len(RAMP) - 1)
+
+    total = 2 * b + pad
+    print(f"λ_max over θ₀ ∈ [{float(theta[0]):.2f}, {float(theta[-1]):.2f}] "
+          f"(→) × m₂ ∈ [{float(m2[0]):.2f}, {float(m2[-1]):.2f}] (↓)")
+    print(f"{rows}×{cols} grid, {total}-member ensemble ({method}), "
+          f"{args.steps} steps: {el:.1f}s")
+    print(f"λ range [{lo:.3f}, {hi:.3f}]   ramp '{RAMP}'")
+    for r in range(rows):
+        row = "".join(RAMP[int(idx[r, c])] for c in range(cols))
+        print(f"m₂={float(m2[r]):4.2f} |{row}|")
+
+    # sanity for the test harness: the high-angle side must be more chaotic
+    # than the small-angle side
+    left = float(jnp.mean(lam[:, : cols // 4]))
+    right = float(jnp.mean(lam[:, -cols // 4:]))
+    print(f"mean λ: small angles {left:.3f}, large angles {right:.3f}")
+    return 0 if right > left and hi > 0.0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

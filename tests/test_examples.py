@@ -431,7 +431,7 @@ class TestFreeParticle:
         )
 
 
-class TestFitMassesExample:
+class TestExampleScripts:
     def test_recovers_masses_library_path(self):
         """examples/fit_masses.py end-to-end (library leapfrog, CPU): the
         trajectory-misfit gradient through the symplectic scan recovers the
@@ -447,3 +447,19 @@ class TestFitMassesExample:
         spec.loader.exec_module(mod)
         # rc 0 asserts max |m - m_true| < 0.05 after the fit
         assert mod.main(["--iters", "60", "--steps", "120"]) == 0
+
+    def test_chaos_scan_example(self):
+        """examples/chaos_scan.py: the (IC × m₂) sweep ensemble runs on the
+        native batched path and the Lyapunov map shows the double pendulum's
+        regular→chaotic transition with angle (rc 0 asserts mean λ at large
+        angles exceeds small angles)."""
+        import importlib.util
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "examples", "chaos_scan.py")
+        spec = importlib.util.spec_from_file_location("chaos_scan", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert mod.main(["--cols", "24", "--rows", "8",
+                         "--steps", "2000"]) == 0

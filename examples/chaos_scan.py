@@ -44,8 +44,10 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--dt", type=float, default=5e-3)
     ap.add_argument("--emit-every", type=int, default=40)
-    ap.add_argument("--eps", type=float, default=1e-7,
-                    help="initial separation of the trajectory pairs")
+    ap.add_argument("--eps", type=float, default=None,
+                    help="initial separation of the trajectory pairs "
+                    "(default 1e-7, or 1e-4 in the f32 --fused mode where "
+                    "1e-7 sits at the round-off floor)")
     ap.add_argument("--fused", action="store_true",
                     help="run the fused serial-chain kernel (accelerator; "
                     "f32, batch padded to a multiple of 1024)")
@@ -65,6 +67,8 @@ def main(argv=None) -> int:
     from hamilton_tpu.utils.observables import lyapunov_estimate
 
     dtype = jnp.float32 if args.fused else jnp.float64
+    if args.eps is None:
+        args.eps = 1e-4 if args.fused else 1e-7
     rows, cols = args.rows, args.cols
     b = rows * cols
 
@@ -123,9 +127,11 @@ def main(argv=None) -> int:
 
     lam = jnp.nan_to_num(lam, nan=0.0)
     lo, hi = float(jnp.min(lam)), float(jnp.max(lam))
-    span = max(hi - lo, 1e-12)
-    idx = jnp.clip(((lam - lo) / span * (len(RAMP) - 1)).astype(jnp.int32),
-                   0, len(RAMP) - 1)
+    # λ ≤ 0 means regular — blank it so one deeply-negative cell can't
+    # compress the chaotic range's contrast
+    span = max(hi, 1e-12)
+    idx = jnp.clip((jnp.maximum(lam, 0.0) / span * (len(RAMP) - 1))
+                   .astype(jnp.int32), 0, len(RAMP) - 1)
 
     total = 2 * b + pad
     print(f"λ_max over θ₀ ∈ [{float(theta[0]):.2f}, {float(theta[-1]):.2f}] "

@@ -53,6 +53,7 @@ def evolve_ensemble(
     omega: float = 20.0,
     system_batched: bool = False,
     compensated: bool = False,
+    steps_per_call: int = 1,
 ) -> Phase:
     """Evolve a batch of initial conditions with a fixed-step integrator.
 
@@ -79,7 +80,7 @@ def evolve_ensemble(
         fn = partial(
             evolve_ham_fixed, dt=dt, n_steps=n_steps, method=method,
             emit_every=emit_every, iters=iters, omega=omega,
-            compensated=compensated,
+            compensated=compensated, steps_per_call=steps_per_call,
         )
         sys_axes = jax.tree_util.tree_map(lambda _: 0, system)
         out = jax.vmap(fn, in_axes=(sys_axes, 0))(system, phase0)
@@ -90,6 +91,7 @@ def evolve_ensemble(
     return evolve_ham_fixed(
         system, phase0, dt, n_steps, method=method, emit_every=emit_every,
         iters=iters, omega=omega, compensated=compensated,
+        steps_per_call=steps_per_call,
     )
 
 

@@ -186,10 +186,16 @@ def evolve_ham_fixed(
     omega: float = 20.0,
     remat: bool = False,
     compensated: bool = False,
+    steps_per_call: int = 1,
 ) -> Phase:
     """Fixed-step evolution: ``n_steps`` steps of size ``dt``, emitting every
     ``emit_every``-th state (chunked emission for long horizons, SURVEY.md §5
     — implemented as one flat loop with cond-guarded buffer writes).
+
+    ``steps_per_call`` (fused kernel methods only) executes that many
+    dt-steps inside each kernel invocation, carrying the state and factor in
+    VMEM across them — the fused hot-loop configuration; it must divide
+    ``emit_every`` so emissions land on call boundaries.
 
     The TPU-first path with no reference analog: symplectic by default
     (``gauss4``) so long-horizon energy drift stays bounded.  Returns a
@@ -204,8 +210,14 @@ def evolve_ham_fixed(
     """
     if n_steps % emit_every != 0:
         raise ValueError(f"{n_steps=} not divisible by {emit_every=}")
+    if emit_every % steps_per_call != 0:
+        raise ValueError(
+            f"{emit_every=} not divisible by {steps_per_call=} (emissions "
+            f"must land on kernel-call boundaries)"
+        )
     stepper = make_stepper(
-        system, method, iters=iters, omega=omega, compensated=compensated
+        system, method, iters=iters, omega=omega, compensated=compensated,
+        steps_per_call=steps_per_call,
     )
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)
@@ -229,8 +241,9 @@ def evolve_ham_fixed(
     def body(i, state):
         carry, out = state
         carry = step_fn(carry)
-        emit_slot = (i + 1) // emit_every - 1
-        do_emit = ((i + 1) % emit_every) == 0
+        steps_done = (i + 1) * steps_per_call
+        emit_slot = steps_done // emit_every - 1
+        do_emit = (steps_done % emit_every) == 0
         ph_now = stepper.extract(carry)
         zeros = (0,) * phase0.q.ndim
 
@@ -243,7 +256,9 @@ def evolve_ham_fixed(
         out = jax.lax.cond(do_emit, write, lambda o: o, out)
         return (carry, out)
 
-    _, emitted = jax.lax.fori_loop(0, n_steps, body, (carry0, out0))
+    _, emitted = jax.lax.fori_loop(
+        0, n_steps // steps_per_call, body, (carry0, out0)
+    )
     q = jnp.concatenate([phase0.q[None], emitted.q], axis=0)
     p = jnp.concatenate([phase0.p[None], emitted.p], axis=0)
     return Phase(q, p)

@@ -257,6 +257,30 @@ class TestFusedStep:
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                    rtol=0, atol=1e-13)
 
+    def test_trajectory_driver_steps_per_call(self, ph4):
+        """evolve_ensemble (trajectory emission) runs fused multi-step
+        blocks between emissions: steps_per_call=5 with emit_every=10 ≡ the
+        single-step run (exact mode → bitwise), and non-dividing emission
+        raises."""
+        import pytest
+
+        from hamilton_tpu.ensemble import evolve_ensemble
+
+        ex = chain(n_links=4)
+        with pltpu.force_tpu_interpret_mode():
+            t1 = evolve_ensemble(ex.system, ph4, 1e-3, 20,
+                                 method="leapfrog_fused", iters=(3, 1),
+                                 emit_every=10)
+            t2 = evolve_ensemble(ex.system, ph4, 1e-3, 20,
+                                 method="leapfrog_fused", iters=(3, 1),
+                                 emit_every=10, steps_per_call=5)
+        np.testing.assert_array_equal(np.asarray(t1.q), np.asarray(t2.q))
+        np.testing.assert_array_equal(np.asarray(t1.p), np.asarray(t2.p))
+        with pytest.raises(ValueError, match="kernel-call boundaries"):
+            evolve_ensemble(ex.system, ph4, 1e-3, 20,
+                            method="leapfrog_fused", iters=(3, 1),
+                            emit_every=10, steps_per_call=4)
+
     def test_yoshida4_fused_matches_library(self, ph4):
         """Triple-jump composition of the fused step ≡ library yoshida4 at
         converged iteration counts."""

@@ -305,6 +305,7 @@ def evolve_ensemble_sharded(
     drift_every: int = 100,
     reduce_stats: Optional[str] = None,
     compensated: bool = False,
+    steps_per_call: int = 1,
 ):
     """Mesh-sharded ensemble evolution via ``jax.shard_map``.
 
@@ -352,7 +353,7 @@ def evolve_ensemble_sharded(
             return evolve_ensemble(
                 sys_local, ph_local, dt, n_steps,
                 method=method, emit_every=emit_every, iters=iters, omega=omega,
-                compensated=compensated,
+                compensated=compensated, steps_per_call=steps_per_call,
             )
 
         return jax.shard_map(
@@ -367,7 +368,7 @@ def evolve_ensemble_sharded(
             sys_local, ph_local, dt, n_steps,
             method=method, iters=iters, omega=omega,
             track_drift=track_drift, drift_every=drift_every,
-            compensated=compensated,
+            compensated=compensated, steps_per_call=steps_per_call,
         )
         if drift is None:
             drift = jnp.zeros_like(ph_local.q[..., 0])

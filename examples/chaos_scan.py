@@ -114,6 +114,9 @@ def main(argv=None) -> int:
     traj = evolve_ensemble(
         sysb, Phase(q0, p0), args.dt, args.steps,
         method=method, iters=iters, emit_every=args.emit_every,
+        # fused mode: run the whole inter-emission span inside one kernel
+        # invocation, carrying state + factor in VMEM
+        steps_per_call=args.emit_every if args.fused else 1,
     )
     jax.block_until_ready(traj.q)
     el = time.perf_counter() - t0

@@ -36,6 +36,7 @@ reference       hamilton_tpu
 ``hamiltonian`` :func:`hamiltonian`
 ``hamEqs``      :func:`ham_eqs`
 ``stepHam``     :func:`step_ham`
+``iterate (stepHam dt s)`` :func:`iterate_ham` (generator)
 ``evolveHam``   :func:`evolve_ham`
 ``evolveHam'``  :func:`evolve_ham_list`
 ``stepHamC``    :func:`step_ham_c`
@@ -76,6 +77,7 @@ from hamilton_tpu.integrators.evolve import (
     evolve_ham_fixed,
     evolve_ham_list,
     step_ham,
+    iterate_ham,
     step_ham_c,
 )
 from hamilton_tpu.ensemble import (
@@ -107,6 +109,7 @@ __all__ = [
     "hamiltonian",
     "ham_eqs",
     "step_ham",
+    "iterate_ham",
     "evolve_ham",
     "evolve_ham_list",
     "evolve_ham_fixed",

@@ -174,6 +174,22 @@ def step_ham(
     return Phase(out.q[1], out.p[1])
 
 
+def iterate_ham(system: System, phase0: Phase, dt: float, **kwargs):
+    """Infinite stream of states every ``dt``, starting with ``phase0``.
+
+    Analog of the reference README's streaming idiom
+    ``evolution = iterate (stepHam 0.1 doublePendulum) phase0``
+    (``README.md:147-151``) as a Python generator — each element advances
+    one :func:`step_ham` adaptive solve from the previous state.  For long
+    dense horizons prefer :func:`evolve_ham_fixed` / the ensemble drivers
+    (one compiled flat loop instead of one dispatch per step).
+    """
+    ph = phase0
+    while True:
+        yield ph
+        ph = step_ham(system, ph, dt, **kwargs)
+
+
 def evolve_ham_fixed(
     system: System,
     phase0: Phase,

@@ -80,6 +80,23 @@ class TestEvolveSemantics:
             np.asarray(stepped.q), np.asarray(pair.q[1]), rtol=1e-12
         )
 
+    def test_iterate_ham_streaming(self):
+        """iterate_ham ≡ the reference README's lazy
+        ``iterate (stepHam dt s) ph0`` stream (README.md:147-151): starts at
+        ph0, each element one step_ham advance."""
+        from itertools import islice
+
+        from hamilton_tpu import iterate_ham
+
+        stream = list(islice(iterate_ham(DP.system, DP.init_phase, 0.1), 4))
+        np.testing.assert_array_equal(np.asarray(stream[0].q),
+                                      np.asarray(DP.init_phase.q))
+        ph = DP.init_phase
+        for k in (1, 2, 3):
+            ph = step_ham(DP.system, ph, 0.1)
+            np.testing.assert_allclose(np.asarray(stream[k].q),
+                                       np.asarray(ph.q), rtol=1e-12)
+
     def test_config_space_wrappers(self):
         """C-variants = fromPhase ∘ phase-op ∘ toPhase (Hamilton.hs:470-515)."""
         c0 = DP.init_config

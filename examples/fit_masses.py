@@ -27,7 +27,8 @@ Usage:
     python examples/fit_masses.py --iters 400     # longer optimization
     python examples/fit_masses.py --fused         # fused Pallas kernel path
                                                   # (TPU; B=1024 tile batch,
-                                                  # shared-traced params)
+                                                  # shared-traced params, fit
+                                                  # on one block's final q,p)
 """
 
 from __future__ import annotations

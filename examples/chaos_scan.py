@@ -110,15 +110,25 @@ def main(argv=None) -> int:
         "gravity": paired(jnp.full((b,), 5.0, dtype)),
     })
 
+    from contextlib import nullcontext
+
+    ctx = nullcontext()
+    if args.fused and jax.default_backend() == "cpu":
+        # no accelerator: run the kernel under the Pallas interpreter
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+
     t0 = time.perf_counter()
-    traj = evolve_ensemble(
-        sysb, Phase(q0, p0), args.dt, args.steps,
-        method=method, iters=iters, emit_every=args.emit_every,
-        # fused mode: run the whole inter-emission span inside one kernel
-        # invocation, carrying state + factor in VMEM
-        steps_per_call=args.emit_every if args.fused else 1,
-    )
-    jax.block_until_ready(traj.q)
+    with ctx:
+        traj = evolve_ensemble(
+            sysb, Phase(q0, p0), args.dt, args.steps,
+            method=method, iters=iters, emit_every=args.emit_every,
+            # fused mode: run the whole inter-emission span inside one kernel
+            # invocation, carrying state + factor in VMEM
+            steps_per_call=args.emit_every if args.fused else 1,
+        )
+        jax.block_until_ready(traj.q)
     el = time.perf_counter() - t0
 
     lam = lyapunov_estimate(
@@ -148,8 +158,9 @@ def main(argv=None) -> int:
 
     # sanity for the test harness: the high-angle side must be more chaotic
     # than the small-angle side
-    left = float(jnp.mean(lam[:, : cols // 4]))
-    right = float(jnp.mean(lam[:, -cols // 4:]))
+    w = max(cols // 4, 1)
+    left = float(jnp.mean(lam[:, :w]))
+    right = float(jnp.mean(lam[:, -w:]))
     print(f"mean λ: small angles {left:.3f}, large angles {right:.3f}")
     return 0 if right > left and hi > 0.0 else 1
 

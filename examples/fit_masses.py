@@ -64,7 +64,14 @@ def main(argv=None) -> int:
     jax.config.update("jax_enable_x64", not args.fused)
 
     import jax.numpy as jnp
-    import optax
+
+    try:
+        import optax
+    except ImportError as e:  # optional dep: pip install hamilton-tpu[examples]
+        raise SystemExit(
+            "fit_masses needs optax for the Adam loop "
+            "(pip install optax / hamilton-tpu[examples])"
+        ) from e
 
     from hamilton_tpu.integrators.evolve import evolve_ham_fixed
     from hamilton_tpu.integrators.fixed import make_stepper

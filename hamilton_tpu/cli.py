@@ -380,7 +380,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         # This wins even over site hooks that force an accelerator platform
         # list in-process (jax.config beats the env var).
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_enable_x64", True)  # reference runs Double
+    # The reference runs Double throughout, and the default rkf45 method's
+    # GSL tolerance (1.49012e-08) sits below f32 machine epsilon — in f32
+    # the adaptive error test can never pass.  Both platform modes need f64.
+    jax.config.update("jax_enable_x64", True)
     example = _example_from_args(args)
     if args.frames is not None:
         return _run_headless(example, args)

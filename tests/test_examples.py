@@ -431,35 +431,34 @@ class TestFreeParticle:
         )
 
 
+def _load_example(name):
+    """Import an examples/ script as a module (they are not packaged)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "examples", f"{name}.py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 class TestExampleScripts:
     def test_recovers_masses_library_path(self):
         """examples/fit_masses.py end-to-end (library leapfrog, CPU): the
         trajectory-misfit gradient through the symplectic scan recovers the
         hidden per-link masses.  Exercises reverse-mode through evolution —
         the capability the reference's construction-time-only AD lacks."""
-        import importlib.util
-        import os
-
-        path = os.path.join(os.path.dirname(__file__), os.pardir,
-                            "examples", "fit_masses.py")
-        spec = importlib.util.spec_from_file_location("fit_masses", path)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
+        pytest.importorskip("optax")
         # rc 0 asserts max |m - m_true| < 0.05 after the fit
-        assert mod.main(["--iters", "60", "--steps", "120"]) == 0
+        assert _load_example("fit_masses").main(
+            ["--iters", "60", "--steps", "120"]) == 0
 
     def test_chaos_scan_example(self):
         """examples/chaos_scan.py: the (IC × m₂) sweep ensemble runs on the
         native batched path and the Lyapunov map shows the double pendulum's
         regular→chaotic transition with angle (rc 0 asserts mean λ at large
         angles exceeds small angles)."""
-        import importlib.util
-        import os
-
-        path = os.path.join(os.path.dirname(__file__), os.pardir,
-                            "examples", "chaos_scan.py")
-        spec = importlib.util.spec_from_file_location("chaos_scan", path)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        assert mod.main(["--cols", "24", "--rows", "8",
-                         "--steps", "2000"]) == 0
+        assert _load_example("chaos_scan").main(
+            ["--cols", "24", "--rows", "8", "--steps", "2000"]) == 0

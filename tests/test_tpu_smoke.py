@@ -252,3 +252,30 @@ def test_fused_shared_traced_params_on_device(tpu):
     g = jax.jit(jax.grad(lambda m: jnp.sum(run(m).q ** 2)))(masses)
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_trajectory_driver_fused_blocks_on_device(tpu):
+    """evolve_ensemble with fused multi-step blocks between emissions
+    (steps_per_call > 1) on the real chip ≡ the single-step-per-call run."""
+    from hamilton_tpu.ensemble import evolve_ensemble
+    from hamilton_tpu.models import chain
+    from hamilton_tpu.state import Phase
+
+    rng_ = np.random.default_rng(7)
+    ex = chain(n_links=4)
+    system = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), ex.system)
+    b = 1024
+    ph = Phase(
+        jnp.asarray(0.5 + 0.01 * rng_.standard_normal((b, 4)), jnp.float32),
+        jnp.asarray(0.01 * rng_.standard_normal((b, 4)), jnp.float32),
+    )
+
+    def run(spc):
+        return evolve_ensemble(system, ph, 1e-3, 20,
+                               method="leapfrog_fused", iters=(3, 1),
+                               emit_every=10, steps_per_call=spc)
+
+    t1, t2 = run(1), run(10)
+    assert t1.q.shape == (3, b, 4)
+    np.testing.assert_array_equal(np.asarray(t1.q), np.asarray(t2.q))
+    np.testing.assert_array_equal(np.asarray(t1.p), np.asarray(t2.p))

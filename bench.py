@@ -105,7 +105,7 @@ def phase_throughput(args):
             final, drift = evolve_ensemble_chunked(
                 system, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
                 method=method, iters=iters, compensated=True,
-                drift_every=min(1000, chunk_steps),
+                drift_every=min(args.drift_every, chunk_steps),
                 drift_dtype=jnp.float64, callback=on_chunk,
                 steps_per_call=spc,
             )
@@ -182,7 +182,7 @@ def phase_margin(args):
         final, drift = evolve_ensemble_chunked(
             system, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
             method="yoshida4_fused", iters=(3, 2), compensated=True,
-            drift_every=min(1000, chunk_steps), drift_dtype=jnp.float64,
+            drift_every=min(args.drift_every, chunk_steps), drift_dtype=jnp.float64,
             callback=on_chunk, steps_per_call=args.steps_per_call,
         )
         jax.block_until_ready(final.q)
@@ -235,7 +235,7 @@ def phase_sweep(args):
         final, drift = evolve_ensemble_chunked(
             sysb, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
             method="leapfrog_fused", iters=args.iters, compensated=True,
-            drift_every=min(1000, chunk_steps), drift_dtype=jnp.float64,
+            drift_every=min(args.drift_every, chunk_steps), drift_dtype=jnp.float64,
             callback=on_chunk, steps_per_call=args.steps_per_call,
         )
         jax.block_until_ready(final.q)
@@ -513,6 +513,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=100_000)
     ap.add_argument("--chunk-steps", type=int, default=10_000)
     ap.add_argument("--warm-steps", type=int, default=50)
+    # density of the cond-guarded f64 H evaluations inside the hot loop;
+    # ~8 ms each on-device, the headline's ~8% (docs/design.md round-3)
+    ap.add_argument("--drift-every", type=int, default=1000)
     ap.add_argument("--drift-steps", type=int, default=100_000)
     ap.add_argument("--drift-batch", type=int, default=1024)
     ap.add_argument("--dp-drift-steps", type=int, default=100_000)

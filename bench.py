@@ -150,51 +150,86 @@ def phase_throughput(args):
 
 
 def phase_margin(args):
-    """Second full-horizon datapoint (VERDICT r2): ``yoshida4_fused`` — the
-    4th-order composition executed inside the fused kernel — at the headline
-    shape over the FULL horizon, with on-device f64 drift sampling.
+    """Margin datapoints beyond the headline (VERDICT r2 item 4).
 
-    Measured full-horizon A/B (docs/design.md round-3): iters=(2,1) leaves
-    the larger Yoshida substeps' fixed points under-converged (2.29e-6 —
-    over the bound); (3,2) converges to 5.58e-7 at 44e6 member-steps/s.
-    At f32+Kahan every converged config lands at the same ~6e-7 rounding
-    floor (leapfrog (2,1) 5.80e-7, (3,1) 8.28e-7, y4 (3,2) 5.58e-7): the
-    remaining drift is evaluation-point rounding — c < ulp(q) cannot enter
-    an f32 trig evaluation — not truncation; the f64 ground truth at the
-    same horizon is 6.9e-14.  A ≥10× under-bound f32 margin is therefore
-    not reachable for ANY integrator at this shape; the margin story is
-    the pair (f32 floor ≈ 6e-7 < 1e-6, f64 truncation 6.9e-14).
+    What sets the ~6e-7 drift level was decomposed on host with a
+    standalone closed-form stepper run in f32+Kahan vs f64-increments-on-
+    an-exact-pair-state (scripts/exp_trig_correction.py; docs/design.md
+    round-3 "what sets the drift level"): the headline leapfrog's level is
+    **dt² truncation** — precision-independent (f64 increments measure the
+    same 3.4e-7 at B=32), NOT an f32 rounding floor as the earlier journal
+    claimed — while ``yoshida4_fused`` (3,2), whose truncation+residual is
+    ~2e-9, exposes the true f32 rounding walk at ~2e-7/1e5 steps
+    (trig-correction A/B shows it is increment-arithmetic rounding, with no
+    cheap f32 repair).  Two datapoints follow:
+
+    1. ``yoshida4_fused`` (3,2) at the headline shape and dt over the full
+       horizon — the order-4 datapoint (5.58e-7 @ 44e6 member-steps/s;
+       (2,1) is under-converged at the larger Yoshida substeps, 2.29e-6).
+    2. **dt-margin**: since leapfrog is truncation-limited, dt=5e-4 over
+       2e5 steps (the SAME physical horizon t=100, the same member-steps/s
+       metric) cuts drift ~4× — the ≥5× under-bound datapoint at full
+       headline throughput.  Host check: 9.1e-8 (f32) vs 8.7e-8 (f64) at
+       B=32 — still truncation-limited, so the f32 walk stays below it.
     """
     from hamilton_tpu.ensemble import evolve_ensemble_chunked
 
+    def run(method, iters, dt, n_steps, chunk_steps):
+        chunk_wall = []
+        t_last = [time.perf_counter()]
+
+        def on_chunk(ci, phase, drift):
+            now = time.perf_counter()
+            chunk_wall.append(now - t_last[0])
+            t_last[0] = now
+
+        with jax.enable_x64(True):
+            system, ph = _build(args.batch, jnp.float32)
+            final, drift = evolve_ensemble_chunked(
+                system, ph, dt, n_steps, chunk_steps=chunk_steps,
+                method=method, iters=iters, compensated=True,
+                drift_every=min(args.drift_every, chunk_steps),
+                drift_dtype=jnp.float64,
+                callback=on_chunk, steps_per_call=args.steps_per_call,
+            )
+            jax.block_until_ready(final.q)
+            max_drift = float(jnp.max(drift))
+        steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
+        el = sum(steady)
+        return {
+            "member_steps_per_sec":
+                args.batch * chunk_steps * len(steady) / el,
+            "max_drift": max_drift,
+            "steps": n_steps,
+            "first_chunk_s": round(chunk_wall[0], 1),
+        }
+
     chunk_steps = min(args.chunk_steps, args.margin_steps)
     n_steps = (args.margin_steps // chunk_steps) * chunk_steps
-    chunk_wall = []
-    t_last = [time.perf_counter()]
-
-    def on_chunk(ci, phase, drift):
-        now = time.perf_counter()
-        chunk_wall.append(now - t_last[0])
-        t_last[0] = now
-
-    with jax.enable_x64(True):
-        system, ph = _build(args.batch, jnp.float32)
-        final, drift = evolve_ensemble_chunked(
-            system, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
-            method="yoshida4_fused", iters=(3, 2), compensated=True,
-            drift_every=min(args.drift_every, chunk_steps), drift_dtype=jnp.float64,
-            callback=on_chunk, steps_per_call=args.steps_per_call,
-        )
-        jax.block_until_ready(final.q)
-        max_drift = float(jnp.max(drift))
-    steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
-    el = sum(steady)
-    return {
-        "y4_member_steps_per_sec": args.batch * chunk_steps * len(steady) / el,
-        "y4_tpu_max_energy_drift_f32comp": max_drift,
-        "y4_drift_steps": n_steps,
-        "y4_first_chunk_s": round(chunk_wall[0], 1),
-    }
+    out = {}
+    try:
+        y4 = run("yoshida4_fused", (3, 2), 1e-3, n_steps, chunk_steps)
+        out.update({
+            "y4_member_steps_per_sec": y4["member_steps_per_sec"],
+            "y4_tpu_max_energy_drift_f32comp": y4["max_drift"],
+            "y4_drift_steps": y4["steps"],
+            "y4_first_chunk_s": y4["first_chunk_s"],
+        })
+    except Exception as e:  # pragma: no cover — phase stays fault-tolerant
+        out["y4_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        dthalf = run("leapfrog_fused", args.iters, 5e-4, 2 * n_steps,
+                     chunk_steps)
+        out.update({
+            "dthalf_member_steps_per_sec": dthalf["member_steps_per_sec"],
+            "dthalf_tpu_max_energy_drift_f32comp": dthalf["max_drift"],
+            "dthalf_drift_steps": dthalf["steps"],
+            "dthalf_dt": 5e-4,
+            "dthalf_first_chunk_s": dthalf["first_chunk_s"],
+        })
+    except Exception as e:  # pragma: no cover — phase stays fault-tolerant
+        out["dthalf_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 def phase_sweep(args):

@@ -70,6 +70,48 @@ def _build(batch, dtype, n_links=20):
     return system, ph
 
 
+def _timed_chunked_run(args, system, ph, *, method, iters, dt, n_steps,
+                       chunk_steps, steps_per_call):
+    """One chunked compensated evolve with steady-chunk wall timing and
+    on-device f64 drift sampling — the shared measurement core of the
+    throughput/margin/sweep phases (and scripts/probe_dthalf.py).
+
+    Chunk 0 pays compile + the relay's first-execution penalty and is
+    excluded from the throughput (reported as ``first_chunk_s``) unless it
+    is the only chunk.  Callers hold ``jax.enable_x64`` for the f64 drift
+    measurement.
+    """
+    from hamilton_tpu.ensemble import evolve_ensemble_chunked
+
+    chunk_wall = []
+    t_last = [time.perf_counter()]
+
+    def on_chunk(ci, phase, drift):
+        now = time.perf_counter()
+        chunk_wall.append(now - t_last[0])
+        t_last[0] = now
+
+    final, drift = evolve_ensemble_chunked(
+        system, ph, dt, n_steps, chunk_steps=chunk_steps,
+        method=method, iters=iters, compensated=True,
+        drift_every=min(args.drift_every, chunk_steps),
+        drift_dtype=jnp.float64, callback=on_chunk,
+        steps_per_call=steps_per_call,
+    )
+    jax.block_until_ready(final.q)
+    max_drift = float(jnp.max(drift))
+    steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
+    el = sum(steady)
+    return {
+        "member_steps_per_sec": args.batch * chunk_steps * len(steady) / el,
+        "max_drift": max_drift,
+        "steps": n_steps,
+        "first_chunk_s": round(chunk_wall[0], 1),
+        "elapsed_steady_s": round(el, 3),
+        "steady_chunks": len(steady),
+    }
+
+
 def phase_throughput(args):
     """Headline: the FULL north-star horizon in one run — 16k members ×
     ``--steps`` (default 1e5) steps on the accelerator, executed as chunked
@@ -86,32 +128,16 @@ def phase_throughput(args):
     separately).  x64 is enabled only for the f64 drift measurement
     (measured free for the f32 hot loop).
     """
-    from hamilton_tpu.ensemble import evolve_ensemble_chunked
-
     chunk_steps = min(args.chunk_steps, args.steps)
     n_steps = (args.steps // chunk_steps) * chunk_steps
 
     def run(method, iters, spc):
-        chunk_wall = []
-        t_last = [time.perf_counter()]
-
-        def on_chunk(ci, phase, drift):
-            now = time.perf_counter()
-            chunk_wall.append(now - t_last[0])
-            t_last[0] = now
-
         with jax.enable_x64(True):
             system, ph = _build(args.batch, jnp.float32)
-            final, drift = evolve_ensemble_chunked(
-                system, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
-                method=method, iters=iters, compensated=True,
-                drift_every=min(args.drift_every, chunk_steps),
-                drift_dtype=jnp.float64, callback=on_chunk,
-                steps_per_call=spc,
+            return _timed_chunked_run(
+                args, system, ph, method=method, iters=iters, dt=1e-3,
+                n_steps=n_steps, chunk_steps=chunk_steps, steps_per_call=spc,
             )
-            jax.block_until_ready(final.q)
-            max_drift = float(jnp.max(drift))
-        return chunk_wall, max_drift
 
     # headline path: the fused whole-step kernel (method="leapfrog_fused",
     # ops/pallas_step.py), multi-step blocks carrying the factor in VMEM —
@@ -121,26 +147,23 @@ def phase_throughput(args):
     spc = args.steps_per_call if method == "leapfrog_fused" else 1
     fallback_error = None
     try:
-        chunk_wall, max_drift = run(method, iters, spc)
+        r = run(method, iters, spc)
     except Exception as e:  # pragma: no cover
         fallback_error = f"{type(e).__name__}: {e}"[:200]
         method, iters, spc = "leapfrog", (2, 0), 1
-        chunk_wall, max_drift = run(method, iters, spc)
-    steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
-    el = sum(steady)
-    steady_steps = chunk_steps * len(steady)
+        r = run(method, iters, spc)
     out = {
-        "member_steps_per_sec": args.batch * steady_steps / el,
+        "member_steps_per_sec": r["member_steps_per_sec"],
         "steps": n_steps,
         "batch": args.batch,
         "throughput_method": method,
         "throughput_iters": str(iters),
         "throughput_steps_per_call": spc,
-        "elapsed_steady_s": round(el, 3),
-        "steady_chunks": len(steady),
+        "elapsed_steady_s": r["elapsed_steady_s"],
+        "steady_chunks": r["steady_chunks"],
         "chunk_steps": chunk_steps,
-        "first_chunk_s": round(chunk_wall[0], 1),
-        "tpu_max_energy_drift_f32comp": max_drift,
+        "first_chunk_s": r["first_chunk_s"],
+        "tpu_max_energy_drift_f32comp": r["max_drift"],
         "tpu_drift_steps": n_steps,
         "platform": jax.devices()[0].platform,
     }
@@ -172,37 +195,14 @@ def phase_margin(args):
        headline throughput.  Host check: 9.1e-8 (f32) vs 8.7e-8 (f64) at
        B=32 — still truncation-limited, so the f32 walk stays below it.
     """
-    from hamilton_tpu.ensemble import evolve_ensemble_chunked
-
     def run(method, iters, dt, n_steps, chunk_steps):
-        chunk_wall = []
-        t_last = [time.perf_counter()]
-
-        def on_chunk(ci, phase, drift):
-            now = time.perf_counter()
-            chunk_wall.append(now - t_last[0])
-            t_last[0] = now
-
         with jax.enable_x64(True):
             system, ph = _build(args.batch, jnp.float32)
-            final, drift = evolve_ensemble_chunked(
-                system, ph, dt, n_steps, chunk_steps=chunk_steps,
-                method=method, iters=iters, compensated=True,
-                drift_every=min(args.drift_every, chunk_steps),
-                drift_dtype=jnp.float64,
-                callback=on_chunk, steps_per_call=args.steps_per_call,
+            return _timed_chunked_run(
+                args, system, ph, method=method, iters=iters, dt=dt,
+                n_steps=n_steps, chunk_steps=chunk_steps,
+                steps_per_call=args.steps_per_call,
             )
-            jax.block_until_ready(final.q)
-            max_drift = float(jnp.max(drift))
-        steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
-        el = sum(steady)
-        return {
-            "member_steps_per_sec":
-                args.batch * chunk_steps * len(steady) / el,
-            "max_drift": max_drift,
-            "steps": n_steps,
-            "first_chunk_s": round(chunk_wall[0], 1),
-        }
 
     chunk_steps = min(args.chunk_steps, args.margin_steps)
     n_steps = (args.margin_steps // chunk_steps) * chunk_steps
@@ -239,8 +239,6 @@ def phase_sweep(args):
     carried with the state).  Target: within ~2× of the shared-parameter
     headline throughput.
     """
-    from hamilton_tpu.ensemble import evolve_ensemble_chunked
-
     chunk_steps = min(args.chunk_steps, args.sweep_steps)
     n_steps = (args.sweep_steps // chunk_steps) * chunk_steps
     with jax.enable_x64(True):
@@ -259,29 +257,16 @@ def phase_sweep(args):
                 5.0 + 0.1 * rng.standard_normal(args.batch), dtype=jnp.float32
             ),
         })
-        chunk_wall = []
-        t_last = [time.perf_counter()]
-
-        def on_chunk(ci, phase, drift):
-            now = time.perf_counter()
-            chunk_wall.append(now - t_last[0])
-            t_last[0] = now
-
-        final, drift = evolve_ensemble_chunked(
-            sysb, ph, 1e-3, n_steps, chunk_steps=chunk_steps,
-            method="leapfrog_fused", iters=args.iters, compensated=True,
-            drift_every=min(args.drift_every, chunk_steps), drift_dtype=jnp.float64,
-            callback=on_chunk, steps_per_call=args.steps_per_call,
+        r = _timed_chunked_run(
+            args, sysb, ph, method="leapfrog_fused", iters=args.iters,
+            dt=1e-3, n_steps=n_steps, chunk_steps=chunk_steps,
+            steps_per_call=args.steps_per_call,
         )
-        jax.block_until_ready(final.q)
-        max_drift = float(jnp.max(drift))
-    steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
-    el = sum(steady)
     return {
-        "sweep_member_steps_per_sec": args.batch * chunk_steps * len(steady) / el,
-        "sweep_max_energy_drift_f32comp": max_drift,
+        "sweep_member_steps_per_sec": r["member_steps_per_sec"],
+        "sweep_max_energy_drift_f32comp": r["max_drift"],
         "sweep_steps": n_steps,
-        "sweep_first_chunk_s": round(chunk_wall[0], 1),
+        "sweep_first_chunk_s": r["first_chunk_s"],
     }
 
 
@@ -595,6 +580,15 @@ def main(argv=None):
         args.drift_steps, args.drift_batch = 5000, 256
         args.dp_drift_steps = 10_000
         args.margin_steps, args.sweep_steps = 1000, 1000
+    # drift samples land on whole fused blocks: a --drift-every that is not
+    # a multiple of --steps-per-call would make the fused phases raise and
+    # phase_throughput silently fall back to the (~3× slower) library path,
+    # reporting IT as the headline — reject up front instead
+    if args.drift_every % args.steps_per_call:
+        ap.error(
+            f"--drift-every ({args.drift_every}) must be a multiple of "
+            f"--steps-per-call ({args.steps_per_call})"
+        )
 
     extras = {"method": args.method}
     value = 0.0

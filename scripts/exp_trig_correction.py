@@ -13,6 +13,9 @@ modes over long horizons on CPU, drift measured in f64 at the pair state:
   v3: increments computed entirely in f64 from the exact pair state,
       accumulated back into an exact two-float f32 pair (the mixed-state
       ceiling: what any f32-state scheme could at best achieve)
+  v4: v2 + the p-side evaluation-point correction: the position flow the
+      f32 solve RHS misses from the p low word, dq_corr = dt*K(q0)^-1 cp,
+      Kahan-folded into q as a separate increment (one extra solve/step)
 
 If v2 ~ v0 << v3-gap: the floor is distributed arithmetic rounding, not the
 evaluation point, and is irreducible at f32 without double-float arithmetic.
@@ -50,7 +53,12 @@ def chain_coeffs(n, dtype):
     return jnp.asarray(cmat, dtype), jnp.asarray(gu, dtype)
 
 
-def make_step(n, iters_p, iters_q, dtype, corrected):
+def make_step(n, iters_p, iters_q, dtype, corrected, p_corrected=False):
+    if iters_q < 1:
+        # the kernel's iters_q=0 is the *predictor-factor* placement
+        # (pallas_step.py:329-340), which this standalone does not model —
+        # a (x,0) run here would measure an integrator nobody ships
+        raise ValueError("exp_trig_correction models iters_q >= 1 only")
     cmat, gu = chain_coeffs(n, dtype)
 
     def trig(q, cq):
@@ -76,7 +84,7 @@ def make_step(n, iters_p, iters_q, dtype, corrected):
         acc_s = jnp.sum(sw, axis=-1)
         return gu[None] * s + w * (s * acc_c - c * acc_s)
 
-    def increments(q0, p0, cq, a_est, vdot_est, dt, half):
+    def increments(q0, p0, cq, cp, a_est, vdot_est, dt, half):
         s0, c0 = trig(q0, cq)
         cho0 = jnp.linalg.cholesky(kmat(s0, c0))
         ph = p0 - half * a_est
@@ -99,7 +107,14 @@ def make_step(n, iters_p, iters_q, dtype, corrected):
         b = dhdq(s1, c1, w1)
         dq = half * (v0 + v_last)
         dp = -half * (a_last + b)
-        return dq, dp, b, (v_last - v0) / dt
+        dq_corr = None
+        if p_corrected and cp is not None:
+            # first-order position-flow correction for the p low word the
+            # f32 solve RHS cannot carry: v(p+cp) - v(p) = K(q0)^{-1} cp.
+            # The result (~eps·|v|) is Kahan-folded into q separately so it
+            # survives accumulation instead of rounding away against dq.
+            dq_corr = dt * solve(cho0, cp)
+        return dq, dp, b, (v_last - v0) / dt, dq_corr
 
     return increments
 
@@ -128,7 +143,11 @@ def run(mode, q0, p0, n, steps, chunk, dt, iters, composition=(1.0,)):
     iters_p, iters_q = iters
     f64 = mode == "v3"
     dtype = jnp.float64 if f64 else jnp.float32
-    inc = make_step(n, iters_p, iters_q, dtype, corrected=(mode == "v2"))
+    inc = make_step(
+        n, iters_p, iters_q, dtype,
+        corrected=mode in ("v2", "v4"),
+        p_corrected=(mode == "v4"),
+    )
 
     def step(state):
         q, cq, p, cp, a, vd = state
@@ -138,16 +157,18 @@ def run(mode, q0, p0, n, steps, chunk, dt, iters, composition=(1.0,)):
             if f64:
                 qe = q.astype(jnp.float64) + cq.astype(jnp.float64)
                 pe = p.astype(jnp.float64) + cp.astype(jnp.float64)
-                dq, dp, a, vd = inc(qe, pe, None, a, vd, dtc, half)
+                dq, dp, a, vd, _ = inc(qe, pe, None, None, a, vd, dtc, half)
                 q1e, p1e = qe + dq, pe + dp
                 q = q1e.astype(jnp.float32)
                 p = p1e.astype(jnp.float32)
                 cq = (q1e - q.astype(jnp.float64)).astype(jnp.float32)
                 cp = (p1e - p.astype(jnp.float64)).astype(jnp.float32)
             else:
-                dq, dp, a, vd = inc(q, p, cq, a, vd, dtc, half)
+                dq, dp, a, vd, dq_corr = inc(q, p, cq, cp, a, vd, dtc, half)
                 q, cq = kahan(q, cq, dq)
                 p, cp = kahan(p, cp, dp)
+                if dq_corr is not None:
+                    q, cq = kahan(q, cq, dq_corr)
         return q, cq, p, cp, a, vd
 
     @jax.jit

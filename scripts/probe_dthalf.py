@@ -18,7 +18,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,43 +37,21 @@ def main():
 
     import bench
 
-    from hamilton_tpu.ensemble import evolve_ensemble_chunked
-
     chunk_steps = min(args.chunk_steps, args.steps)
     n_steps = (args.steps // chunk_steps) * chunk_steps
-    chunk_wall = []
-    t_last = [time.perf_counter()]
-
-    def on_chunk(ci, phase, drift):
-        now = time.perf_counter()
-        chunk_wall.append(now - t_last[0])
-        t_last[0] = now
-        print(
-            f"chunk {ci} wall {chunk_wall[-1]:.1f}s "
-            f"drift {float(jnp.max(drift)):.3e}",
-            flush=True,
-        )
-
     with jax.enable_x64(True):
         system, ph = bench._build(args.batch, jnp.float32)
-        final, drift = evolve_ensemble_chunked(
-            system, ph, args.dt, n_steps, chunk_steps=chunk_steps,
-            method="leapfrog_fused", iters=(2, 1), compensated=True,
-            drift_every=min(args.drift_every, chunk_steps),
-            drift_dtype=jnp.float64, callback=on_chunk,
+        r = bench._timed_chunked_run(
+            args, system, ph, method="leapfrog_fused", iters=(2, 1),
+            dt=args.dt, n_steps=n_steps, chunk_steps=chunk_steps,
             steps_per_call=args.steps_per_call,
         )
-        jax.block_until_ready(final.q)
-        max_drift = float(jnp.max(drift))
-
-    steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
-    el = sum(steady)
     print(json.dumps({
         "dt": args.dt,
         "steps": n_steps,
-        "member_steps_per_sec": args.batch * chunk_steps * len(steady) / el,
-        "max_energy_drift_f32comp": max_drift,
-        "first_chunk_s": round(chunk_wall[0], 1),
+        "member_steps_per_sec": r["member_steps_per_sec"],
+        "max_energy_drift_f32comp": r["max_drift"],
+        "first_chunk_s": r["first_chunk_s"],
         "platform": jax.devices()[0].platform,
     }))
 

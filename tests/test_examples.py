@@ -455,6 +455,15 @@ class TestExampleScripts:
         assert _load_example("fit_masses").main(
             ["--iters", "60", "--steps", "120"]) == 0
 
+    def test_hmc_example(self):
+        """examples/hmc.py: B parallel HMC chains as one framework ensemble
+        (identity-coords Cartesian system, batch-native leapfrog, jitted
+        scan).  rc 0 asserts healthy acceptance AND the pooled sample
+        covariance matches the analytic Σ entrywise — a statistical
+        end-to-end check of H(q,p) and the symplectic stepper."""
+        assert _load_example("hmc").main(
+            ["--chains", "32", "--iters", "200", "--warmup", "50"]) == 0
+
     def test_chaos_scan_example(self):
         """examples/chaos_scan.py: the (IC × m₂) sweep ensemble runs on the
         native batched path and the Lyapunov map shows the double pendulum's

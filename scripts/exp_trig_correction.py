@@ -217,6 +217,9 @@ def main():
     ap.add_argument("--dt", type=float, default=1e-3)
     ap.add_argument("--iters", type=str, default="3,1")
     ap.add_argument("--modes", type=str, default="v0,v2,v3")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="IC seed (run-to-run spread of the max/med "
+                         "statistics is chaotic-trajectory noise)")
     ap.add_argument(
         "--composition", type=str, default="verlet",
         choices=["verlet", "yoshida4"],
@@ -232,7 +235,7 @@ def main():
     else:
         composition = (1.0,)
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     base = np.full(n, 0.5)  # chain() theta0 default, at rest — bench ICs
     q0 = jnp.asarray(
         base + 0.01 * rng.standard_normal((args.batch, n)), jnp.float32
@@ -248,7 +251,7 @@ def main():
         )
     print(
         f"FINAL composition={args.composition} iters={iters} "
-        f"batch={args.batch} steps={args.steps} "
+        f"batch={args.batch} steps={args.steps} seed={args.seed} "
         + " ".join(
             f"{k}_max={v[0]:.4e} {k}_med={v[1]:.4e}"
             for k, v in results.items()

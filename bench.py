@@ -589,6 +589,15 @@ def main(argv=None):
             f"--drift-every ({args.drift_every}) must be a multiple of "
             f"--steps-per-call ({args.steps_per_call})"
         )
+    for name in ("chunk_steps", "steps"):
+        if getattr(args, name) % args.steps_per_call:
+            ap.error(
+                f"--{name.replace('_', '-')} ({getattr(args, name)}) must "
+                f"be a multiple of --steps-per-call "
+                f"({args.steps_per_call}) — a non-multiple makes the fused "
+                f"run raise and the headline silently fall back to the "
+                f"library path"
+            )
 
     extras = {"method": args.method}
     value = 0.0

@@ -260,10 +260,14 @@ def evolve_ham_fixed(
         steps_done = (i + 1) * steps_per_call
         emit_slot = steps_done // emit_every - 1
         do_emit = (steps_done % emit_every) == 0
-        ph_now = stepper.extract(carry)
         zeros = (0,) * phase0.q.ndim
 
         def write(o):
+            # extract INSIDE the cond branch: for the fused steppers it is
+            # the tile→(B, n) relayout, which must run once per emission,
+            # not on every non-emitting block (cf. the pallas_step design
+            # note "extract is the only relayout")
+            ph_now = stepper.extract(carry)
             return Phase(
                 jax.lax.dynamic_update_slice(o.q, ph_now.q[None], (emit_slot,) + zeros),
                 jax.lax.dynamic_update_slice(o.p, ph_now.p[None], (emit_slot,) + zeros),

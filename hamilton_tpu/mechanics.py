@@ -174,6 +174,10 @@ def _form_k(j: jax.Array, inertia: jax.Array) -> jax.Array:
     """``K = JᵀMJ`` (..., n, n) from J (..., m, n).  ``inertia`` may carry
     leading batch axes (derived from batched params) — they broadcast against
     J's batch axes (trailing-aligned, like everything params-batched)."""
+    # params (hence the derived inertia) may be stored wider than the state
+    # (e.g. f64 params from an x64 build driving an f32 ensemble); compute in
+    # the state dtype like every other params consumer (cf. jac_tiles)
+    inertia = inertia.astype(j.dtype)
     m, n = j.shape[-2], j.shape[-1]
     if m * n * n <= _K_MULSUM_LIMIT:
         jm = j * inertia[..., :, None]
@@ -215,7 +219,7 @@ def momenta(system: System, config: Config) -> jax.Array:
     if system.mass_matrix_fn is not None:
         return _mv(mass_matrix(system, config.q), config.v)
     j = _jacobian(system, config.q)
-    return _tmv(j, system.inertia * _mv(j, config.v))
+    return _tmv(j, system.inertia.astype(j.dtype) * _mv(j, config.v))
 
 
 def velocities(system: System, phase: Phase) -> jax.Array:
@@ -303,7 +307,11 @@ def _dtdq(system: System, q: jax.Array, w: jax.Array) -> jax.Array:
     # coords sweep's activations are (B, m)-sized.
     def one(qi, wi, pp):
         coords1 = system.coords_bound(pp)
-        inert = system.inertia_of(pp)
+        # cast to the state dtype: the VJP cotangent must match qi's dtype
+        # exactly (f64 params from an x64 build would otherwise crash an
+        # f32 evolution here — the only inertia consumer where mixed dtypes
+        # raise instead of silently promoting)
+        inert = system.inertia_of(pp).astype(qi.dtype)
 
         def jw(qq):
             return jax.jvp(coords1, (qq,), (wi,))[1]

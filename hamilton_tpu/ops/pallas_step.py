@@ -158,8 +158,9 @@ def serial_chain_stepper(
     ``gravity`` a scalar or ``(...)`` array.  Concrete unbatched values are
     baked into the kernel as immediate constants (the fastest mode); traced
     or batched values become per-member coefficient tiles computed at
-    ``init`` and carried with the state (parameter sweeps: extra leading
-    axes must broadcast against the state batch ``B``).
+    ``init`` and carried with the state (parameter sweeps: a leading batch
+    axis must EQUAL the state batch ``B``, matching the library path's
+    member-pairwise vmap semantics).
 
     ``iters=(iters_p, iters_q)`` are the momentum/position fixed-point
     counts, both *exact* (fresh in-register factorization per iterate);
@@ -629,8 +630,27 @@ def serial_chain_stepper(
             cm_b = jnp.broadcast_to(cmat.reshape(1, n * n), (TILE_B, n * n))
             gu_b = jnp.broadcast_to(gu.reshape(1, n), (TILE_B, n))
         else:
-            cm_b = jnp.broadcast_to(cmat, (b, n, n)).reshape(b, n * n)
-            gu_b = jnp.broadcast_to(gu, (b, n))
+            # per coefficient array: unbatched replicates across members
+            # (as the library path's broadcast of shared params does), a
+            # leading batch axis must EQUAL the state batch — the library
+            # path (the fused path's correctness reference) vmaps members
+            # pairwise and rejects size-1 broadcasting, so accepting it
+            # here would silently break the parity contract
+            def member_rows(arr, tail_ndim, flat, tag):
+                lead = arr.shape[:arr.ndim - tail_ndim]
+                if lead == ():
+                    return jnp.broadcast_to(arr.reshape(1, flat), (b, flat))
+                if lead != (b,):
+                    raise ValueError(
+                        f"batched chain parameters must carry a leading "
+                        f"batch axis equal to the state batch ({b}); got "
+                        f"{tag} shape {tuple(arr.shape)} (broadcast size-1 "
+                        f"axes explicitly, as the library path requires)"
+                    )
+                return arr.reshape(b, flat)
+
+            cm_b = member_rows(cmat, 2, n * n, "C_ij")
+            gu_b = member_rows(gu, 1, n, "g·l·S")
         return state + (_to_tiles(cm_b), _to_tiles(gu_b))
 
     def step(carry, dt):

@@ -97,6 +97,25 @@ class TestFusedStep:
         np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
                                    rtol=0, atol=1e-13)
 
+    def test_size1_param_batch_rejected(self):
+        """A size-1 leading params batch against a larger state batch must
+        raise at init: the library path (the correctness reference) vmaps
+        members pairwise and rejects size-1 broadcasting, so the fused path
+        accepting it would silently break fused≡library parity."""
+        rng = np.random.default_rng(3)
+        ex = chain(n_links=4)
+        ph = Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((B, 4))),
+                   jnp.zeros((B, 4)))
+        sysb = ex.system.replace_params({
+            "masses": jnp.ones((1, 4)),
+            "lengths": jnp.ones((1, 4)),
+            "gravity": jnp.full((1,), 5.0),
+        })
+        fus = make_stepper(sysb, "leapfrog_fused", iters=(2, 1))
+        with pytest.raises(ValueError, match="equal to the state batch"):
+            with pltpu.force_tpu_interpret_mode():
+                fus.init(ph)
+
     def test_shared_params_bake_static_mode(self):
         """Concrete unbatched params keep the immediate-constant kernel (the
         headline mode): the carry stays 4 state tiles, no coefficient

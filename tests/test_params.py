@@ -238,3 +238,38 @@ class TestAdaptiveSweeps:
         out = evolve_ham(sysb, ph, jnp.linspace(0.0, 0.4, 5))
         assert out.q.shape == (5, b, 2)
         assert bool(jnp.all(jnp.isfinite(out.q)))
+
+
+class TestMixedDtype:
+    """f64-stored params (an x64 build) driving an f32 state must compute
+    in the state dtype — not crash (the _dtdq VJP cotangent requires an
+    exact dtype match) and not silently promote the hot loop to f64."""
+
+    def test_f32_evolution_of_x64_built_model(self):
+        from hamilton_tpu.integrators.evolve import evolve_ham_fixed
+        from hamilton_tpu.mechanics import ham_eqs
+
+        ex = chain(n_links=4)  # params stored f64 under the x64 test env
+        assert ex.system.params["masses"].dtype == jnp.float64
+        b = 8
+        rng = np.random.default_rng(0)
+        ph = Phase(
+            jnp.asarray(
+                np.asarray(ex.init_phase.q, np.float32)
+                + 0.01 * rng.standard_normal((b, 4), ).astype(np.float32)
+            ),
+            jnp.zeros((b, 4), jnp.float32),
+        )
+        dq, dp = ham_eqs(ex.system, ph)  # crashed in _dtdq before the fix
+        assert dq.dtype == jnp.float32 and dp.dtype == jnp.float32
+        out = evolve_ham_fixed(ex.system, ph, 1e-3, 3, method="leapfrog",
+                               iters=(2, 1))
+        assert out.q.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(out.q)))
+
+    def test_momenta_dtype_follows_state(self):
+        ex = chain(n_links=4)
+        v = jnp.ones((4,), jnp.float32) * 0.1
+        q = ex.init_phase.q.astype(jnp.float32)
+        p = momenta(ex.system, Config(q, v))
+        assert p.dtype == jnp.float32

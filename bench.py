@@ -39,18 +39,54 @@ before the f64 attempts because a faulted f64 dispatch poisons the device):
 Note: first-compile latency through this environment's remote-compile
 service is highly variable (30 s – 6 min for identical programs); the
 phases each compile exactly one graph.
+
+A hung accelerator backend (a wedged TPU tunnel) would stall the whole
+bench at first device init — an outage the per-phase try/except cannot
+catch.  ``main`` therefore probes the default backend in a subprocess
+under a timeout first; if it is unresponsive the bench pins itself to the
+host CPU at --quick shapes and reports ``accelerator_probe`` in extras, so
+the driver always gets its one JSON line.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _host_pinned() -> bool:
+    """True when this process is already pinned to the host cpu platform
+    (the test suite's conftest, or a prior pin): there is no accelerator
+    init to hang on, so the tunnel probe would be pure overhead."""
+    return (getattr(jax.config, "jax_platforms", None) or "") == "cpu"
+
+
+def _probe_accelerator(timeout_s: float = 240.0):
+    """Return the default backend's platform string, or None if backend
+    init is unresponsive.
+
+    Runs in a SUBPROCESS so a hung init (e.g. a wedged TPU tunnel, observed
+    blocking ``jax.devices()`` indefinitely) can be timed out without
+    poisoning this process, which has not initialized its backends yet.
+    """
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+    if proc.returncode != 0 or not proc.stdout.strip():
+        return None
+    return proc.stdout.strip().splitlines()[-1]
 
 
 def _build(batch, dtype, n_links=20):
@@ -574,12 +610,16 @@ def main(argv=None):
                     help="small shapes for smoke testing")
     ap.add_argument("--skip-drift", action="store_true")
     args = ap.parse_args(argv)
-    if args.quick:
+
+    def shrink_to_quick():
         args.batch, args.steps = 4096, 1000
         args.chunk_steps = 500
         args.drift_steps, args.drift_batch = 5000, 256
         args.dp_drift_steps = 10_000
         args.margin_steps, args.sweep_steps = 1000, 1000
+
+    if args.quick:
+        shrink_to_quick()
     # drift samples land on whole fused blocks: a --drift-every that is not
     # a multiple of --steps-per-call would make the fused phases raise and
     # phase_throughput silently fall back to the (~3× slower) library path,
@@ -600,6 +640,15 @@ def main(argv=None):
             )
 
     extras = {"method": args.method}
+    platform = "cpu" if _host_pinned() else _probe_accelerator()
+    if platform is None:
+        # accelerator init hangs (wedged tunnel): pin THIS process to the
+        # host before its first backend init and shrink to smoke shapes —
+        # full accelerator shapes are hours on host, and the driver needs
+        # its JSON line more than it needs an unreachable headline
+        jax.config.update("jax_platforms", "cpu")
+        extras["accelerator_probe"] = "unresponsive; bench pinned to cpu"
+        shrink_to_quick()
     value = 0.0
     vs_baseline = 0.0
     try:

@@ -77,3 +77,64 @@ class TestTimedChunkedRun:
         assert r["steady_chunks"] == 1  # chunk 0 excluded when >1 chunk
         assert r["member_steps_per_sec"] > 0
         assert 0 <= r["max_drift"] < 1e-5
+
+
+class TestAcceleratorProbe:
+    """The wedged-tunnel watchdog: a hung accelerator init must degrade the
+    bench to a host-pinned quick run, never hang it (the driver needs its
+    one JSON line)."""
+
+    def _stub_phases(self, monkeypatch, seen):
+        for name in ("phase_throughput", "phase_margin", "phase_sweep",
+                     "phase_double_pendulum", "phase_adaptive",
+                     "phase_drift", "phase_cpu_baseline"):
+            monkeypatch.setattr(bench, name,
+                                lambda args, _s=seen: _s.append(args) or {})
+
+    def test_probe_skipped_when_host_pinned(self, monkeypatch, capsys):
+        # conftest pins jax_platforms="cpu" in-process, so main must not
+        # spawn a probe subprocess at all (each would cost seconds-to-240s)
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("probe must not run when host-pinned")
+
+        monkeypatch.setattr(bench, "_probe_accelerator", boom)
+        seen = []
+        self._stub_phases(monkeypatch, seen)
+        assert bench.main([]) == 0
+        out = capsys.readouterr().out
+        assert "accelerator_probe" not in out
+
+    def test_unresponsive_probe_pins_cpu_and_shrinks(self, monkeypatch,
+                                                     capsys):
+        import json
+
+        monkeypatch.setattr(bench, "_host_pinned", lambda: False)
+        monkeypatch.setattr(bench, "_probe_accelerator", lambda *a: None)
+        pinned = []
+        monkeypatch.setattr(bench.jax.config, "update",
+                            lambda *a: pinned.append(a))
+        seen = []
+        self._stub_phases(monkeypatch, seen)
+        assert bench.main([]) == 0
+        assert ("jax_platforms", "cpu") in pinned
+        args = seen[0]
+        assert (args.batch, args.steps) == (4096, 1000)  # quick shapes
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        assert "unresponsive" in json.loads(line)["accelerator_probe"]
+
+    def test_probe_timeout_returns_none(self, monkeypatch):
+        import subprocess as sp
+
+        def fake_run(*a, **k):
+            raise sp.TimeoutExpired(cmd="x", timeout=k.get("timeout", 0))
+
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        assert bench._probe_accelerator(timeout_s=0.01) is None
+
+    def test_probe_parses_platform_line(self, monkeypatch):
+        class R:
+            returncode = 0
+            stdout = "WARNING: some preamble\naxon\n"
+
+        monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: R())
+        assert bench._probe_accelerator() == "axon"

@@ -24,7 +24,8 @@ before the f64 attempts because a faulted f64 dispatch poisons the device):
      not ride a thin margin alone.
   3. Parameter-sweep throughput: per-member masses/gravity through the
      fused kernel's runtime coefficient tiles (target: within ~2× of the
-     shared-parameter headline).
+     shared-parameter headline), over the FULL horizon with its own drift
+     datapoint (the runtime-operand mode is a distinct kernel variant).
   4. Double-pendulum north-star config: 16k-member f32 throughput (fused
      kernel, library fallback) plus the FULL 1e5-step f64 gauss4 drift
      (cheap at n=2) on the host.
@@ -68,7 +69,7 @@ def _host_pinned() -> bool:
     return (getattr(jax.config, "jax_platforms", None) or "") == "cpu"
 
 
-def _probe_accelerator(timeout_s: float = 240.0):
+def _probe_accelerator(timeout_s: float = 600.0):
     """Return the default backend's platform string, or None if backend
     init is unresponsive.
 
@@ -139,7 +140,9 @@ def _timed_chunked_run(args, system, ph, *, method, iters, dt, n_steps,
     steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
     el = sum(steady)
     return {
-        "member_steps_per_sec": args.batch * chunk_steps * len(steady) / el,
+        # batch from the phase itself, not args.batch: callers may time a
+        # differently-sized ensemble than the headline's
+        "member_steps_per_sec": ph.q.shape[0] * chunk_steps * len(steady) / el,
         "max_drift": max_drift,
         "steps": n_steps,
         "first_chunk_s": round(chunk_wall[0], 1),
@@ -274,6 +277,12 @@ def phase_sweep(args):
     kernel in runtime-operand mode (coefficient tiles computed at init and
     carried with the state).  Target: within ~2× of the shared-parameter
     headline throughput.
+
+    Runs the FULL ``--sweep-steps`` horizon (default 1e5, like the
+    headline): the runtime-operand mode is a numerically distinct kernel
+    variant, and drift is only trustworthy at the target horizon
+    (docs/design.md long-horizon caveat) — the extra chunks cost seconds,
+    the compile dominates either way.
     """
     chunk_steps = min(args.chunk_steps, args.sweep_steps)
     n_steps = (args.sweep_steps // chunk_steps) * chunk_steps
@@ -602,7 +611,7 @@ def main(argv=None):
     # full-horizon yoshida4_fused margin datapoint + runtime-params sweep
     # throughput (both chunked, f64-sampled drift like the headline)
     ap.add_argument("--margin-steps", type=int, default=100_000)
-    ap.add_argument("--sweep-steps", type=int, default=20_000)
+    ap.add_argument("--sweep-steps", type=int, default=100_000)
     ap.add_argument("--skip-margin", action="store_true")
     ap.add_argument("--skip-sweep", action="store_true")
     ap.add_argument("--skip-adaptive", action="store_true")

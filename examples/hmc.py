@@ -111,9 +111,12 @@ def main(argv=None) -> int:
         _, (qs, accepts) = jax.lax.scan(hmc_iter, q0, keys)
         return qs, accepts  # (iters, B, n), (iters, B)
 
-    key = jax.random.PRNGKey(args.seed)
-    q0 = jax.random.normal(jax.random.split(key, 1)[0], (B, n))
-    qs, accepts = run(q0, key)
+    # split ONCE into disjoint init/scan streams: split(key, 1)[0] is
+    # bit-identical to split(key, iters)[0], so seeding q0 from it would
+    # re-consume iteration 0's key (correlated init and first refresh)
+    init_key, scan_key = jax.random.split(jax.random.PRNGKey(args.seed))
+    q0 = jax.random.normal(init_key, (B, n))
+    qs, accepts = run(q0, scan_key)
 
     acc = float(jnp.mean(accepts[args.warmup:]))
     draws = np.asarray(qs[args.warmup:]).reshape(-1, n)

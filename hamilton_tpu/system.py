@@ -96,6 +96,12 @@ class System:
                 )
             self._inertia = None
         else:
+            if inertia is None:
+                raise ValueError(
+                    "inertia is required: give a concrete per-Cartesian-"
+                    "coordinate mass vector, or derive it from params via "
+                    "inertia_fn"
+                )
             self._inertia = jnp.asarray(inertia)
             if self._inertia.ndim != 1:
                 raise ValueError(

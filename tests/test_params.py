@@ -24,6 +24,12 @@ class TestConstruction:
             mk_system(None, lambda q: q, lambda q: 0.0, n=2,
                       inertia_fn=lambda p: jnp.ones(2))
 
+    def test_missing_inertia_raises_descriptive_error(self):
+        # forgetting inertia_fn while passing inertia=None must name the
+        # fix, not surface jnp.asarray(None)'s opaque TypeError
+        with pytest.raises(ValueError, match="inertia_fn"):
+            mk_system(None, lambda q: q, lambda q: 0.0, n=2)
+
     def test_inertia_and_inertia_fn_mutually_exclusive(self):
         with pytest.raises(ValueError, match="not both"):
             mk_system(jnp.ones(2), lambda q, p: q, lambda q, p: 0.0, n=2,

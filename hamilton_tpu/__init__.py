@@ -87,6 +87,7 @@ from hamilton_tpu.ensemble import (
     evolve_ensemble_sharded,
 )
 from hamilton_tpu import utils  # noqa: F401 — expose ht.utils.* (observables etc.)
+from hamilton_tpu import models  # noqa: F401 — expose ht.models.* (construction is lazy; import is free)
 
 __version__ = "0.3.0"
 

@@ -460,9 +460,28 @@ FIXED_METHODS = (
     "gauss6",
     "yoshida4",
     "yoshida4_fused",
+    "suzuki4_fused",
     "tao2",
     "tao4",
 )
+
+_FUSED_METHODS = ("leapfrog_fused", "yoshida4_fused", "suzuki4_fused")
+
+
+def _fused_factory(system: System):
+    """The system's fused-stepper factory: an explicit ``pallas_step``
+    override wins; otherwise one is derived from the declarative
+    ``fused_forms`` family contract (ops/pallas_step.py)."""
+    if system.pallas_step is not None:
+        return system.pallas_step
+    if getattr(system, "fused_forms", None) is not None:
+        from hamilton_tpu.ops.pallas_step import fused_stepper
+
+        def factory(sys, **kw):
+            return fused_stepper(sys.fused_forms(sys), **kw)
+
+        return factory
+    return None
 
 
 def make_stepper(
@@ -493,15 +512,13 @@ def make_stepper(
         one kernel dispatch (amortizes the per-dispatch launch overhead; the
         returned stepper reports it as ``.substeps``).
     """
-    if steps_per_call != 1 and method not in (
-        "leapfrog_fused", "yoshida4_fused"
-    ):
+    if steps_per_call != 1 and method not in _FUSED_METHODS:
         raise ValueError(
             f"steps_per_call applies to the fused kernel methods, "
             f"not {method!r}"
         )
     if isinstance(iters, tuple) and method not in (
-        "leapfrog", "leapfrog_fused", "yoshida4", "yoshida4_fused"
+        "leapfrog", "yoshida4", *_FUSED_METHODS
     ):
         raise ValueError(
             f"split (iters_p, iters_q) counts apply to leapfrog/yoshida4, "
@@ -511,35 +528,35 @@ def make_stepper(
         stepper = _explicit_rk_stepper(system, RK4)
     elif method == "leapfrog":
         return _leapfrog_stepper(system, iters, compensated)
-    elif method == "leapfrog_fused":
-        # fused whole-step Pallas kernel (ops/pallas_step.py), attached per
-        # system by models whose family has the required closed forms
-        if system.pallas_step is None:
+    elif method in _FUSED_METHODS:
+        # fused whole-step Pallas kernel (ops/pallas_step.py), built from
+        # the system's declarative closed-form family contract
+        # (System.fused_forms) or a fully custom System.pallas_step factory.
+        # The order-4 members run the Yoshida triple jump / Suzuki 5-stage
+        # composition INSIDE the kernel (the warm-start quantities are
+        # physical, so their dt-scaling survives the sign-alternating
+        # substeps — same argument as library yoshida4); both compose with
+        # steps_per_call and the in-block factor carry.
+        factory = _fused_factory(system)
+        if factory is None:
             raise ValueError(
-                f"system {system.name!r} carries no fused step kernel "
-                f"(System.pallas_step); use method='leapfrog'"
+                f"system {system.name!r} carries no fused-kernel closed "
+                f"forms (System.fused_forms / System.pallas_step); use the "
+                f"library leapfrog/yoshida4 methods"
             )
-        return system.pallas_step(
-            system, iters=iters, compensated=compensated,
-            steps_per_call=steps_per_call,
+        from hamilton_tpu.ops.pallas_step import (
+            SUZUKI4_COMPOSITION,
+            YOSHIDA4_COMPOSITION,
         )
-    elif method == "yoshida4_fused":
-        # 4th-order Yoshida triple jump executed INSIDE the fused kernel
-        # (the warm-start quantities are physical, so their dt-scaling
-        # survives the sign-alternating substeps — same argument as
-        # library yoshida4); composes with steps_per_call and the in-block
-        # factor carry.
-        if system.pallas_step is None:
-            raise ValueError(
-                f"system {system.name!r} carries no fused step kernel "
-                f"(System.pallas_step); use method='yoshida4'"
-            )
-        from hamilton_tpu.ops.pallas_step import YOSHIDA4_COMPOSITION
 
-        return system.pallas_step(
+        composition = {
+            "leapfrog_fused": (1.0,),
+            "yoshida4_fused": YOSHIDA4_COMPOSITION,
+            "suzuki4_fused": SUZUKI4_COMPOSITION,
+        }[method]
+        return factory(
             system, iters=iters, compensated=compensated,
-            steps_per_call=steps_per_call,
-            composition=YOSHIDA4_COMPOSITION,
+            steps_per_call=steps_per_call, composition=composition,
         )
     elif method == "midpoint":
         return _gauss_stepper(system, GAUSS2, iters, compensated)

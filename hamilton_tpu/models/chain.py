@@ -120,24 +120,19 @@ def chain(
     # Fused whole-step kernel (opt-in via method="leapfrog_fused"): the
     # planar-serial-chain closed forms let the entire Verlet step run inside
     # one Pallas kernel with the state resident in register tiles
-    # (ops/pallas_step.py).  The factory reads the LIVE system's params, so
-    # concrete models bake immediates (the headline mode) while traced or
-    # batched params become per-member coefficient tiles (sweeps).
-    from hamilton_tpu.ops.pallas_step import serial_chain_stepper
+    # (ops/pallas_step.py).  The family contract reads the LIVE system's
+    # params, so concrete models bake immediates (the headline mode) while
+    # traced or batched params become per-member coefficient tiles (sweeps).
+    from hamilton_tpu.ops.pallas_step import serial_chain_forms
 
-    def pallas_step(system, *, iters=(3, 1), compensated=False,
-                    steps_per_call=1, composition=(1.0,)):
+    def fused_forms(system):
         p = system.params
-        return serial_chain_stepper(
-            p["masses"], p["lengths"], p["gravity"],
-            iters=iters, compensated=compensated,
-            steps_per_call=steps_per_call, composition=composition,
-        )
+        return serial_chain_forms(p["masses"], p["lengths"], p["gravity"])
 
     system = mk_system_cart(
         None, coords, potential_cart, n=n_links, name=f"chain{n_links}",
         jacobian_fn=jacobian_fn, mass_matrix_fn=mass_matrix_fn,
-        pallas_step=pallas_step, params=params, inertia_fn=inertia_fn,
+        fused_forms=fused_forms, params=params, inertia_fn=inertia_fn,
     )
 
     def draw(xs):

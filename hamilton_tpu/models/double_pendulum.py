@@ -56,23 +56,22 @@ def double_pendulum(m1: float = 1.0, m2: float = 1.0) -> Example:
     # fused whole-step kernel: the double pendulum is the planar serial
     # chain with lengths (1, ½) and gravity 5 (the model's constant offset
     # in y₂ does not enter ∇U, so the chain closed forms apply verbatim:
-    # K₁₁ = m₁+m₂, K₁₂ = ½cos(θ₁−θ₂)m₂, K₂₂ = ¼m₂).  The factory reads the
+    # K₁₁ = m₁+m₂, K₁₂ = ½cos(θ₁−θ₂)m₂, K₂₂ = ¼m₂; the family potential
+    # differs from the model's by the state-independent 2.5·m₂, which
+    # cancels in every H−H₀ drift measurement).  The contract reads the
     # LIVE system's params: concrete masses bake immediates, traced/batched
     # masses become per-member coefficient tiles (sweeps).
-    from hamilton_tpu.ops.pallas_step import serial_chain_stepper
+    from hamilton_tpu.ops.pallas_step import serial_chain_forms
 
-    def pallas_step(system, *, iters=(3, 1), compensated=False,
-                    steps_per_call=1, composition=(1.0,)):
+    def fused_forms(system):
         p = system.params
-        return serial_chain_stepper(
+        return serial_chain_forms(
             jnp.stack([jnp.asarray(p["m1"]), jnp.asarray(p["m2"])], axis=-1),
             [1.0, 0.5], 5.0,
-            iters=iters, compensated=compensated,
-            steps_per_call=steps_per_call, composition=composition,
         )
 
     system = mk_system_cart(None, coords, potential, n=2,
-                            name="double_pendulum", pallas_step=pallas_step,
+                            name="double_pendulum", fused_forms=fused_forms,
                             params=params, inertia_fn=inertia_fn)
 
     def draw(xs):

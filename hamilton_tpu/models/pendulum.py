@@ -20,17 +20,11 @@ def pendulum(theta0: float = 0.0, omega0: float = 1.0) -> Example:
     angle from degrees before calling, ``app/Examples.hs:391``).
     """
     # fused whole-step kernel: the pendulum is the n=1 planar serial chain
-    # (K = 1, ∇U = sin θ — potential offsets don't enter the dynamics).
+    # (K = 1, ∇U = sin θ — the family potential differs from the model's by
+    # the constant −0.5, which cancels in every H−H₀ drift measurement).
     # No physics params: the pendulum's constants are structural (unit mass,
     # unit length, unit gravity — reference app/Examples.hs:61-73).
-    from hamilton_tpu.ops.pallas_step import serial_chain_stepper
-
-    def pallas_step(system, *, iters=(3, 1), compensated=False,
-                    steps_per_call=1, composition=(1.0,)):
-        return serial_chain_stepper(
-            [1.0], [1.0], 1.0, iters=iters, compensated=compensated,
-            steps_per_call=steps_per_call, composition=composition,
-        )
+    from hamilton_tpu.ops.pallas_step import serial_chain_forms
 
     system = mk_system_cart(
         jnp.array([1.0, 1.0]),
@@ -38,7 +32,7 @@ def pendulum(theta0: float = 0.0, omega0: float = 1.0) -> Example:
         lambda x: x[1],
         n=1,
         name="pendulum",
-        pallas_step=pallas_step,
+        fused_forms=lambda system: serial_chain_forms([1.0], [1.0], 1.0),
     )
 
     def draw(xs):

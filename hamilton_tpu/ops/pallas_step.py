@@ -1,4 +1,4 @@
-"""Fused whole-step Pallas kernel for planar serial-chain systems.
+"""Fused whole-step Pallas kernel: the closed-form family interface.
 
 The tile-resident hot loop (:mod:`hamilton_tpu.ops.pallas_solve`) still pays
 one HBM round-trip per *operation* — factor, five solves, three AD sweeps and
@@ -7,34 +7,37 @@ At 16384×chain-20 that is ~0.95 ms/step while the arithmetic itself is worth
 ~60 µs: the step is pure memory traffic.
 
 This module collapses the **entire generalized Störmer-Verlet step** into one
-Pallas kernel for the *planar serial linkage* family (pendulum, double
+Pallas kernel for any system family whose physics admit *closed forms* — a
+:class:`FusedForms` contract supplying, as tile arithmetic:
+
+* the mass-matrix entries      ``K_ij(q)``
+* the Hamiltonian q-gradient   ``∂H/∂q_k = ∇U_k(q) − ∂T/∂q_k|_w``
+* (optionally) the potential   ``U(q)`` — used by the double-f32 drift sampler
+
+from a small per-member *auxiliary tuple* (e.g. the sin/cos pairs of the
+coordinates) plus per-family *coefficient tables* derived from the physical
+parameters.  Built-in families: the planar serial chain (pendulum, double
 pendulum, N-link chain — reference ``app/Examples.hs:61-183`` members plus
-the BASELINE chain config), whose closed forms make every per-step quantity
-computable from ``2n`` transcendentals and per-link coefficients:
+the BASELINE chain config, :func:`serial_chain_forms` here), and the
+spherical-pendulum / two-body / spring / room forms defined alongside their
+models (``hamilton_tpu/models/*.py`` — each ~30 lines, the template for user
+systems; see ``docs/api.md`` "Joining the fused family").
 
-* mass matrix      ``K_ij(q)   = l_i·l_j·cos(θ_i−θ_j)·S_max(i,j)``
-* potential grad   ``∇U_i(q)   = g·l_i·sin(θ_i)·S_i``
-* kinetic gradient ``∂T/∂θ_k|w = −l_k·w_k·Σ_j l_j·sin(θ_k−θ_j)·S_kj·w_j``
+The kernel keeps the whole step in registers/VMEM (batch-in-registers
+layout, one (8, 128) tile per scalar — see pallas_solve.py); per step the
+only HBM traffic is the (B, n) state in and out.  The fixed points are
+warm-started from the previous step's converged force/velocity-derivative
+(carried tiles), and inside ``steps_per_call`` blocks the end-of-step
+factor+aux ride the Mosaic loop carry so only the first step of a block pays
+the q₀ factorization (exact for ``iters_q ≥ 1``; see ``increments``).
 
-with ``S_r = Σ_{k≥r} m_k`` the suffix mass sums.  All pairwise
-``sin/cos(θ_i−θ_j)`` come from the ``n`` sin/cos pairs by the angle-subtraction
-identities — vector FMAs, not transcendentals.  The kernel keeps the whole
-step in registers/VMEM (batch-in-registers layout, one (8, 128) tile per
-scalar — see pallas_solve.py); per step the only HBM traffic is the (B, n)
-state in and out.  The fixed points are warm-started from the previous
-step's converged force/velocity-derivative (carried tiles), and inside
-``steps_per_call`` blocks the end-of-step factor+trig ride the Mosaic loop
-carry so only the first step of a block pays the q₀ factorization (exact
-for ``iters_q ≥ 1``; see ``increments``).
-
-**Parameters are first-class operands.**  When the masses/lengths/gravity
-are concrete unbatched values, the coefficient tables ``C_ij = l_i·l_j·S_ij``
-and ``g·l_i·S_i`` are baked into the kernel as immediate scalars (the
-fastest mode, and the headline-bench path).  When any of them is traced or
-carries a leading batch axis — a **parameter sweep** — the coefficients are
-materialized per member as ``(G, n², 8, 128)`` / ``(G, n, 8, 128)`` tile
-operands computed once at ``init`` and carried alongside the state, so a
-16k (IC × mass-grid) ensemble runs through the same fused kernel with
+**Parameters are first-class operands.**  When the physical parameters are
+concrete unbatched values, the coefficient tables are baked into the kernel
+as immediate scalars (the fastest mode, and the headline-bench path).  When
+any of them is traced or carries a leading batch axis — a **parameter
+sweep** — the tables are materialized per member as ``(G, len_t, 8, 128)``
+tile operands computed once at ``init`` and carried alongside the state, so
+a 16k (IC × mass-grid) ensemble runs through the same fused kernel with
 per-member physics (the reference parameterizes every example,
 ``app/Examples.hs:195-359``; masses are plain data,
 ``Numeric/Hamilton.hs:201-215``).  Traced-but-unbatched (shared) parameters
@@ -46,23 +49,28 @@ coefficient traffic.
 program, so reverse-mode runs through an *exact replay*: a pure-jnp mirror
 of the identical arithmetic (same closed forms, same fixed-point iteration
 order, same factor carry) evaluated under ``jax.checkpoint`` inside the
-backward pass.  ``jax.grad`` through ``leapfrog_fused``/``yoshida4_fused``
-therefore matches the library-path gradient (tested), including gradients
-with respect to the per-member parameter tiles (mass/length/gravity
-sensitivities) and ``dt``.
+backward pass.  ``jax.grad`` through the fused methods therefore matches the
+library-path gradient (tested), including gradients with respect to the
+per-member parameter tiles (mass/length/gravity sensitivities) and ``dt``.
 
 The evolution state stays in tile layout **across steps** (the Stepper carry
 is the tiled state), so chained steps move no layout at all; ``extract`` is
 the only relayout and runs once per emission/drift sample.
 
-This is an opt-in hot path: systems carrying these closed forms attach a
-factory as ``System.pallas_step`` (called with the live system, so the
-parameters come from ``System.params``) and callers select it with
-``method="leapfrog_fused"``; the generic AD/library path stays the default
-and the correctness reference (parity unit-tested in interpreter mode).
+This is an opt-in hot path: systems carrying closed forms attach a
+``fused_forms`` factory (``System.fused_forms``, called with the live system
+so the parameters come from ``System.params``) and callers select it with
+``method="leapfrog_fused"`` (or the order-4 ``yoshida4_fused`` /
+``suzuki4_fused`` compositions); the generic AD/library path stays the
+default and the correctness reference (parity unit-tested in interpreter
+mode).
 """
 
 from __future__ import annotations
+
+import types
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,7 +79,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hamilton_tpu.state import Phase
 
-__all__ = ["serial_chain_stepper", "YOSHIDA4_COMPOSITION"]
+__all__ = [
+    "FusedForms",
+    "FamilyFns",
+    "fused_stepper",
+    "serial_chain_forms",
+    "serial_chain_stepper",
+    "concrete_vec",
+    "concrete_scalar",
+    "FM_JNP",
+    "YOSHIDA4_COMPOSITION",
+    "SUZUKI4_COMPOSITION",
+]
 
 TILE_B = 8 * 128
 
@@ -80,6 +99,15 @@ _GAMMA = 2.0 ** (1.0 / 3.0)
 YOSHIDA4_COMPOSITION = (
     1.0 / (2.0 - _GAMMA), -_GAMMA / (2.0 - _GAMMA), 1.0 / (2.0 - _GAMMA),
 )
+
+# Suzuki's 5-stage fractal composition (Suzuki 1990), also order 4 over a
+# symmetric order-2 base.  Two more substeps than the triple jump, but every
+# |w| ≤ 0.42 where the triple jump's middle substep runs |w0| ≈ 1.70 — the
+# per-substep fixed-point contraction (∝ |w·dt|) is ~4× milder, so the cheap
+# (2, 1) iteration schedule converges where the triple jump needs (3, 2)
+# (measured: docs/design.md round-4 "a cheap fused order 4").
+_S5 = 1.0 / (4.0 - 4.0 ** (1.0 / 3.0))
+SUZUKI4_COMPOSITION = (_S5, _S5, 1.0 - 4.0 * _S5, _S5, _S5)
 
 
 def _suffix_sums(xs):
@@ -102,9 +130,9 @@ def _from_tiles(xt: jax.Array) -> jax.Array:
     return jnp.moveaxis(xt, 1, 3).reshape(g * TILE_B, k)
 
 
-def _concrete_vec(x, n: int):
+def concrete_vec(x, n: int):
     """``x`` as a list of n Python floats if it is concrete and unbatched,
-    else None (→ runtime-operand mode)."""
+    else None (→ runtime-operand mode).  Family-constructor helper."""
     if isinstance(x, jax.core.Tracer):
         return None
     if isinstance(x, (list, tuple)):
@@ -126,7 +154,8 @@ def _concrete_vec(x, n: int):
     return None
 
 
-def _concrete_scalar(x):
+def concrete_scalar(x):
+    """``x`` as a Python float if concrete and unbatched, else None."""
     if isinstance(x, jax.core.Tracer):
         return None
     if isinstance(x, (int, float)):
@@ -141,26 +170,128 @@ def _concrete_scalar(x):
     return None
 
 
-def serial_chain_stepper(
-    masses,
-    lengths,
-    gravity,
+# backward-compatible private aliases (round-3 call sites / tests)
+_concrete_vec = concrete_vec
+_concrete_scalar = concrete_scalar
+
+
+def _fm_full(v, like):
+    """A coefficient as a value in the arithmetic domain of ``like``:
+    Python floats broadcast to ``like``'s shape, everything else (already a
+    tile / member column / DF pair) passes through."""
+    if isinstance(v, (int, float)):
+        return jnp.full_like(like, v)
+    return v
+
+
+#: The jnp math namespace handed to ``FusedForms.make`` on the kernel and
+#: replay paths.  Families write their closed forms against this interface
+#: (``fm.sin``/``cos``/``exp``/``sqrt``/``full``/``zero``) plus the ordinary
+#: ``+ − * /`` operators, which makes the SAME family code evaluable in
+#: double-f32 arithmetic (ops/df32.py swaps in a DF-valued namespace for the
+#: high-precision drift sampler).
+FM_JNP = types.SimpleNamespace(
+    sin=jnp.sin,
+    cos=jnp.cos,
+    exp=jnp.exp,
+    sqrt=jnp.sqrt,
+    full=_fm_full,
+    zero=lambda like: jnp.zeros_like(like),
+)
+
+
+class FamilyFns(NamedTuple):
+    """The closed forms of one system family, in tile arithmetic.
+
+    All callables receive/return *per-member values* — (8, 128) tiles inside
+    the kernel, (B,) columns in the replay, DF pairs in the double-f32 drift
+    sampler — and must only combine them with ``+ − * /`` and the ``fm``
+    namespace they were built against (no ``jnp.`` calls, no shape access).
+
+    ``aux(q)``
+        The per-evaluation-point auxiliary tuple (length ``n_aux``, fixed)
+        from the coordinate list ``q`` (length n) — e.g. the sin/cos pairs.
+        Everything ``k_at`` needs must be derivable from ``aux`` + ``q``;
+        the aux tuple rides the kernel's factor carry across steps.
+    ``k_at(aux, q)``
+        Returns an entry accessor ``(i, j) → K_ij`` for the SPD mass matrix
+        (only ``j ≤ i`` is consulted).  Entries must be value-typed (use
+        ``fm.full(coef, aux[0])`` for constant entries, ``fm.zero(aux[0])``
+        for structural zeros).
+    ``dhdq(aux, q, w)``
+        The length-n list ``∂H/∂q_k = ∇U_k(q) − ∂T/∂q_k|_w`` with
+        ``∂T/∂q_k|_w = ½ wᵀ(∂K/∂q_k)w`` evaluated at the velocity ``w``.
+    ``potential(aux, q)``
+        Optional: the scalar potential ``U(q)`` as a per-member value.  Not
+        used by the kernel itself; powers the double-f32 energy-drift
+        sampler (ops/df32.py) and the closed-form parity tests.
+    """
+
+    aux: Callable[..., tuple]
+    k_at: Callable[..., Callable[[int, int], Any]]
+    dhdq: Callable[..., list]
+    potential: Optional[Callable[..., Any]] = None
+
+
+@dataclass(frozen=True)
+class FusedForms:
+    """A system family's contract with the fused whole-step kernel.
+
+    Constructed per *system instance* (typically by a ``System.fused_forms``
+    factory reading the live ``System.params``), capturing the physical
+    parameters either as baked immediates or as runtime coefficient tables:
+
+    ``n``
+        Generalized degrees of freedom (states are (B, n)).
+    ``n_aux``
+        Length of the auxiliary tuple ``FamilyFns.aux`` returns (static).
+    ``coef_lens``
+        Flat length of each coefficient table.  The entry accessors handed
+        to ``make`` index these tables: ``at[t](i)`` is entry ``i`` of table
+        ``t`` (a Python float when the parameters were concrete, a
+        per-member value otherwise).
+    ``consts``
+        The tables as tuples of Python floats when every physical parameter
+        is concrete and unbatched (the immediate-constant kernel mode), else
+        None.
+    ``arrays_fn``
+        ``arrays_fn(dtype) → tuple[jax.Array]`` materializing each table as
+        an array of shape ``lead + (coef_lens[t],)`` where ``lead`` is
+        ``()`` (shared/traced parameters — a single broadcast tile group) or
+        ``(B,)`` (a parameter sweep; must equal the state batch).  Only
+        consulted when ``consts`` is None.
+    ``make``
+        ``make(at, fm) → FamilyFns``: build the closed forms against entry
+        accessors ``at`` and math namespace ``fm`` (see :data:`FM_JNP`).
+    ``name``
+        For error messages.
+    """
+
+    n: int
+    n_aux: int
+    coef_lens: Tuple[int, ...]
+    consts: Optional[Tuple[Tuple[float, ...], ...]]
+    arrays_fn: Optional[Callable[[Any], Tuple[jax.Array, ...]]]
+    make: Callable[..., FamilyFns]
+    name: str = "family"
+
+    def const_accessors(self):
+        """Entry accessors over the baked tables (static mode only)."""
+        return tuple(
+            (lambda i, t=t: self.consts[t][i]) for t in range(len(self.coef_lens))
+        )
+
+
+def fused_stepper(
+    forms: FusedForms,
     *,
     iters=(3, 1),
     compensated: bool = False,
     steps_per_call: int = 1,
     composition=(1.0,),
 ):
-    """Build a fused whole-step leapfrog :class:`Stepper` for a planar serial
-    chain with the given per-link masses/lengths and gravity.
-
-    ``masses``/``lengths`` are length-n sequences or arrays ``(..., n)``;
-    ``gravity`` a scalar or ``(...)`` array.  Concrete unbatched values are
-    baked into the kernel as immediate constants (the fastest mode); traced
-    or batched values become per-member coefficient tiles computed at
-    ``init`` and carried with the state (parameter sweeps: a leading batch
-    axis must EQUAL the state batch ``B``, matching the library path's
-    member-pairwise vmap semantics).
+    """Build a fused whole-step leapfrog :class:`Stepper` from a family's
+    :class:`FusedForms`.
 
     ``iters=(iters_p, iters_q)`` are the momentum/position fixed-point
     counts, both *exact* (fresh in-register factorization per iterate);
@@ -173,7 +304,7 @@ def serial_chain_stepper(
     registers/VMEM), and the resulting ``Stepper`` reports it as
     ``.substeps`` so evolution drivers keep step counts and drift-sampling
     cadence aligned.  Its value comes from the **factor carry**: steps
-    1..S−1 of a block skip the q₀ trig+factorization entirely (see
+    1..S−1 of a block skip the q₀ aux+factorization entirely (see
     ``increments``), measured 0.114 → 0.088 ms/step at 16384×chain-20 with
     S=50.  (Raw per-kernel-call launch cost inside a compiled loop is
     negligible on this backend — the ~25 ms fixed cost is per *jit
@@ -182,21 +313,15 @@ def serial_chain_stepper(
 
     ``composition`` is a tuple of dt-scale coefficients executed as
     consecutive substeps *inside* each dt-step — ``(1.0,)`` is plain
-    Verlet; the Yoshida triple jump ``(w1, w0, w1)`` yields the 4th-order
-    method with the factor carried across substeps (the warm quantities
-    are physical, so their dt-scaling survives the sign alternation).
+    Verlet; :data:`YOSHIDA4_COMPOSITION` / :data:`SUZUKI4_COMPOSITION`
+    yield 4th-order methods with the factor carried across substeps (the
+    warm quantities are physical, so their dt-scaling survives the sign
+    alternation).
     """
     from hamilton_tpu.integrators.fixed import Stepper, _kahan_add  # no cycle
 
-    if isinstance(masses, (list, tuple)):
-        n = len(masses)
-    else:
-        n = int(masses.shape[-1])
-    n_len = len(lengths) if isinstance(lengths, (list, tuple)) else int(
-        lengths.shape[-1]
-    )
-    if n_len != n:
-        raise ValueError(f"need {n} lengths, got {n_len}")
+    n = forms.n
+    n_aux = forms.n_aux
     iters_p, iters_q = iters if isinstance(iters, tuple) else (iters, iters)
     if iters_p < 1:
         raise ValueError("fused leapfrog needs iters_p >= 1")
@@ -207,90 +332,28 @@ def serial_chain_stepper(
         )
     composition = tuple(float(w) for w in composition)
 
-    m_c = _concrete_vec(masses, n)
-    l_c = _concrete_vec(lengths, n)
-    g_c = _concrete_scalar(gravity)
-    static_mode = m_c is not None and l_c is not None and g_c is not None
-    n_par = 0 if static_mode else 2  # (cm, gu) tile operands
-
-    if static_mode:
-        suff = _suffix_sums(m_c)  # S_r
-        # K/sweep coefficient C_ij = l_i·l_j·S_max(i,j); ∇U coeff g·l_i·S_i
-        c_mat = [
-            [l_c[i] * l_c[j] * suff[max(i, j)] for j in range(n)]
-            for i in range(n)
-        ]
-        gu_c = [g_c * l_c[i] * suff[i] for i in range(n)]
-
-    def coef_arrays(dtype):
-        """Runtime mode: the (..., n, n) / (..., n) coefficient arrays from
-        the (possibly traced/batched) parameters."""
-        m_ = jnp.asarray(masses).astype(dtype)
-        l_ = jnp.asarray(lengths).astype(dtype)
-        g_ = jnp.asarray(gravity).astype(dtype)
-        suffix = jnp.cumsum(m_[..., ::-1], axis=-1)[..., ::-1]  # S_r
-        # S_max(i,j) = min(S_i, S_j): the suffix sums are non-increasing
-        smax = jnp.minimum(suffix[..., :, None], suffix[..., None, :])
-        cmat = l_[..., :, None] * l_[..., None, :] * smax
-        gu = g_[..., None] * l_ * suffix
-        return cmat, gu
-
-    # -- step arithmetic, parametrized over the coefficient accessors -----
-    # ``cm(i, j)``/``gu_at(i)``/``diag(i, like)`` return either Python floats
-    # (static mode) or per-member values (tiles in the kernel, (B,) columns
-    # in the replay) — the arithmetic below is agnostic.
-
-    def trig(q):
-        return [jnp.sin(qi) for qi in q], [jnp.cos(qi) for qi in q]
+    static_mode = forms.consts is not None
+    n_par = 0 if static_mode else len(forms.coef_lens)
 
     # reuse the unrolled tile-entry factor/solve bodies from pallas_solve
     from hamilton_tpu.ops.pallas_solve import _chol_entries, _solve_entries
 
-    def _pack_fac(low, inv_d, s, c):
-        """Factor+trig as a flat pytree (loop-carryable tile tuples)."""
+    def _pack_fac(low, inv_d, aux):
+        """Factor+aux as a flat pytree (loop-carryable tile tuples)."""
         flat = tuple(low[(i, j)] for i in range(n) for j in range(i + 1))
-        return (flat, tuple(inv_d), tuple(s), tuple(c))
+        return (flat, tuple(inv_d), tuple(aux))
 
     def _unpack_fac(fac):
-        flat, inv_d, s, c = fac
+        flat, inv_d, aux = fac
         low, k = {}, 0
         for i in range(n):
             for j in range(i + 1):
                 low[(i, j)] = flat[k]
                 k += 1
-        return low, list(inv_d), list(s), list(c)
+        return low, list(inv_d), tuple(aux)
 
-    def make_increments(cm, gu_at, diag):
-        def k_at(s, c):
-            def at(i, j):
-                if i == j:
-                    # cos(0)·C_ii exactly (not c²+s² with its rounding)
-                    return diag(i, s[0])
-                return cm(i, j) * (c[i] * c[j] + s[i] * s[j])
-
-            return at
-
-        def dhdq(s, c, w):
-            """∂H/∂q = ∇U − ∂T/∂q|_w, from the trig pairs at this q.
-
-            Dot-product form: Σ_j C_kj·sin(θk−θj)·w_j = s_k·Σ_j C_kj·(c_j·w_j)
-            − c_k·Σ_j C_kj·(s_j·w_j) — 4n²+O(n) vector ops instead of 6n²
-            (the j=k term contributes s_k·C_kk·c_k·w_k to both sums and
-            cancels exactly in real arithmetic; in floats it perturbs at the
-            rounding level, below the integrator's own f32 noise)."""
-            cw = [c[j] * w[j] for j in range(n)]
-            sw = [s[j] * w[j] for j in range(n)]
-            out = []
-            for k in range(n):
-                acc_c = cm(k, 0) * cw[0]
-                acc_s = cm(k, 0) * sw[0]
-                for j in range(1, n):
-                    acc_c = acc_c + cm(k, j) * cw[j]
-                    acc_s = acc_s + cm(k, j) * sw[j]
-                out.append(
-                    gu_at(k) * s[k] + w[k] * (s[k] * acc_c - c[k] * acc_s)
-                )
-            return out
+    def make_increments(fam: FamilyFns):
+        aux_fn, k_at, dhdq = fam.aux, fam.k_at, fam.dhdq
 
         def increments(q0, p0, a_est, vdot_est, dt, half, fac0=None):
             """Lists of per-member values → (dq_inc, dp_inc, warm', fac1).
@@ -303,8 +366,8 @@ def serial_chain_stepper(
             cold (3,1) 6.7e-7 vs warm (3,1) at the converged level (the cold
             residual dominates the Kahan-compensated rounding floor).
 
-            ``fac0``, when given, replaces the q₀ trig+factorization with the
-            previous step's end-of-step factor and trig (``fac1``): for
+            ``fac0``, when given, replaces the q₀ aux+factorization with the
+            previous step's end-of-step factor and aux (``fac1``): for
             ``iters_q ≥ 1`` the carried factor was computed at exactly this
             q₀ (the converged q₁) so the substitution is EXACT; for
             ``iters_q=0`` it is the predictor factor, consistently stale by
@@ -313,15 +376,15 @@ def serial_chain_stepper(
             where the carry lives in VMEM (through HBM it would cost more
             than it saves)."""
             if fac0 is not None:
-                low0, inv_d0, s0, c0 = _unpack_fac(fac0)
+                low0, inv_d0, aux0 = _unpack_fac(fac0)
             else:
-                s0, c0 = trig(q0)
-                low0, inv_d0 = _chol_entries(k_at(s0, c0), n)
+                aux0 = aux_fn(q0)
+                low0, inv_d0 = _chol_entries(k_at(aux0, q0), n)
             ph = [p0[i] - half * a_est[i] for i in range(n)]
             a_last = a_est
             for _ in range(iters_p):
                 w = _solve_entries(low0, inv_d0, lambda i: ph[i], n)
-                a_last = dhdq(s0, c0, w)
+                a_last = dhdq(aux0, q0, w)
                 ph = [p0[i] - half * a_last[i] for i in range(n)]
             v0 = _solve_entries(low0, inv_d0, lambda i: ph[i], n)
             q1 = [q0[i] + dt * v0[i] + (dt * half) * vdot_est[i]
@@ -331,26 +394,26 @@ def serial_chain_stepper(
                 # predictor-factor placement (cf. fixed.py Gauss-Seidel
                 # mode): one factor at the O(dt²) predictor serves the
                 # q-refinement and the end-of-step force
-                s1, c1 = trig(q1)
-                low1, inv_d1 = _chol_entries(k_at(s1, c1), n)
+                aux1 = aux_fn(q1)
+                low1, inv_d1 = _chol_entries(k_at(aux1, q1), n)
                 v_last = _solve_entries(low1, inv_d1, lambda i: ph[i], n)
                 q1 = [q0[i] + half * (v0[i] + v_last[i]) for i in range(n)]
                 # force at the refined q1 with the predictor factor velocity
-                s1r, c1r = trig(q1)
-                b = dhdq(s1r, c1r, v_last)
-                fac1 = _pack_fac(low1, inv_d1, s1r, c1r)
+                aux1r = aux_fn(q1)
+                b = dhdq(aux1r, q1, v_last)
+                fac1 = _pack_fac(low1, inv_d1, aux1r)
             else:
                 for _ in range(iters_q):
-                    s1, c1 = trig(q1)
-                    low1, inv_d1 = _chol_entries(k_at(s1, c1), n)
+                    aux1 = aux_fn(q1)
+                    low1, inv_d1 = _chol_entries(k_at(aux1, q1), n)
                     v_last = _solve_entries(low1, inv_d1, lambda i: ph[i], n)
                     q1 = [q0[i] + half * (v0[i] + v_last[i]) for i in range(n)]
                 # exact end-of-step factor at the converged q1
-                s1, c1 = trig(q1)
-                low1, inv_d1 = _chol_entries(k_at(s1, c1), n)
+                aux1 = aux_fn(q1)
+                low1, inv_d1 = _chol_entries(k_at(aux1, q1), n)
                 w1 = _solve_entries(low1, inv_d1, lambda i: ph[i], n)
-                b = dhdq(s1, c1, w1)
-                fac1 = _pack_fac(low1, inv_d1, s1, c1)
+                b = dhdq(aux1, q1, w1)
+                fac1 = _pack_fac(low1, inv_d1, aux1)
             dq_inc = [half * (v0[i] + v_last[i]) for i in range(n)]
             dp_inc = [-half * (a_last[i] + b[i]) for i in range(n)]
             inv_dt = 1.0 / dt
@@ -361,9 +424,7 @@ def serial_chain_stepper(
 
     if static_mode:
         increments_static = make_increments(
-            lambda i, j: c_mat[i][j],
-            lambda i: gu_c[i],
-            lambda i, like: jnp.full_like(like, c_mat[i][i]),
+            forms.make(forms.const_accessors(), FM_JNP)
         )
 
     def build_step_once(increments, dt, half):
@@ -428,8 +489,8 @@ def serial_chain_stepper(
         Step 0 is peeled (no carried factor at block entry — carrying it
         through HBM between dispatches would cost more than it saves);
         steps 1..S−1 run in a Mosaic-level ``fori_loop`` whose carry
-        includes the end-of-step factor+trig, so they skip the q₀
-        trig+factorization entirely."""
+        includes the end-of-step factor+aux, so they skip the q₀
+        aux+factorization entirely."""
         state, fac = step_once(state, None)
         if steps_per_call == 1:
             return state
@@ -440,18 +501,15 @@ def serial_chain_stepper(
         return out[0]
 
     def kernel(*refs):
-        # refs: dt, [cm, gu,] n_sv state-in, n_sv state-out
+        # refs: dt, [coefficient tables,] n_sv state-in, n_sv state-out
         dt = refs[0][...]
         half = dt * 0.5
         if static_mode:
             increments = increments_static
         else:
-            cm_v, gu_v = _View(refs[1]), _View(refs[2])
-            increments = make_increments(
-                lambda i, j: cm_v[i * n + j],
-                lambda i: gu_v[i],
-                lambda i, like: cm_v[i * n + i],
-            )
+            views = [_View(refs[1 + t]) for t in range(n_par)]
+            at = tuple((lambda i, v=v: v[i]) for v in views)
+            increments = make_increments(forms.make(at, FM_JNP))
         in_views = [_View(r) for r in refs[1 + n_par: 1 + n_par + n_sv]]
         out_views = [_View(r) for r in refs[1 + n_par + n_sv:]]
         step_once = build_step_once(increments, dt, half)
@@ -483,11 +541,10 @@ def serial_chain_stepper(
         dt_spec = pl.BlockSpec(
             (8, 128), lambda gg: (gg * 0, gg * 0), memory_space=pltpu.VMEM
         )
-        param_specs = (
-            [vec_spec(n * n, ops[0].shape[0] == 1),
-             vec_spec(n, ops[1].shape[0] == 1)]
-            if n_par else []
-        )
+        param_specs = [
+            vec_spec(forms.coef_lens[t], ops[t].shape[0] == 1)
+            for t in range(n_par)
+        ]
         state_specs = [vec_spec(n)] * n_sv
 
         def sds(t):
@@ -519,19 +576,20 @@ def serial_chain_stepper(
         if static_mode:
             increments = increments_static
         else:
-            cm_cols = _from_tiles(ops[0])  # (B, n²) — or (1024, n²) shared
-            gu_cols = _from_tiles(ops[1])  # (B, n)
-            if cm_cols.shape[0] != b:
-                # shared single-group operands: every lane holds the same
-                # value; keep lane 0 as a length-1 column that broadcasts
-                # over members (its cotangent lands in lane 0, and init's
-                # broadcast_to sums lanes, so parameter grads are exact)
-                cm_cols, gu_cols = cm_cols[:1], gu_cols[:1]
-            increments = make_increments(
-                lambda i, j: cm_cols[:, i * n + j],
-                lambda i: gu_cols[:, i],
-                lambda i, like: cm_cols[:, i * n + i],
+            all_cols = []
+            for t in range(n_par):
+                cols = _from_tiles(ops[t])  # (B, len_t) — or (1024, …) shared
+                if cols.shape[0] != b:
+                    # shared single-group operands: every lane holds the same
+                    # value; keep lane 0 as a length-1 column that broadcasts
+                    # over members (its cotangent lands in lane 0, and init's
+                    # broadcast_to sums lanes, so parameter grads are exact)
+                    cols = cols[:1]
+                all_cols.append(cols)
+            at = tuple(
+                (lambda i, c=c: c[:, i]) for c in all_cols
             )
+            increments = make_increments(forms.make(at, FM_JNP))
         # per-member dt: the kernel multiplies the (8, 128) dt tile
         # elementwise into every member lane (shared across groups)
         dt_col = jnp.broadcast_to(
@@ -596,7 +654,7 @@ def serial_chain_stepper(
     def _check(ph: Phase):
         if ph.q.ndim != 2 or ph.q.shape[-1] != n:
             raise ValueError(
-                f"fused serial-chain stepper needs (B, {n}) states, got "
+                f"fused {forms.name} stepper needs (B, {n}) states, got "
                 f"{tuple(ph.q.shape)} (single trajectories and other "
                 f"shapes: use the library leapfrog)"
             )
@@ -618,46 +676,65 @@ def serial_chain_stepper(
             state = (qt, pt, z, jnp.zeros_like(pt), z, z)
         if static_mode:
             return state
-        # runtime-parameter mode: materialize the coefficient tiles once;
+        # runtime-parameter mode: materialize the coefficient tables once;
         # they ride the carry (read-only) so chunked/resumed drivers keep
         # them with the state.  Unbatched (shared) params — e.g. gradients
         # w.r.t. scalar masses, or a system passed as a traced jit argument
         # — get ONE tile group reused by every grid step instead of B-fold
         # per-member copies.
         b = ph.q.shape[0]
-        cmat, gu = coef_arrays(ph.q.dtype)
-        if cmat.ndim == 2 and gu.ndim == 1:
-            cm_b = jnp.broadcast_to(cmat.reshape(1, n * n), (TILE_B, n * n))
-            gu_b = jnp.broadcast_to(gu.reshape(1, n), (TILE_B, n))
+        tables = forms.arrays_fn(ph.q.dtype)
+        if len(tables) != n_par:
+            raise ValueError(
+                f"{forms.name}: arrays_fn returned {len(tables)} tables, "
+                f"declared {n_par}"
+            )
+        if all(t.ndim == 1 for t in tables):
+            ops = tuple(
+                _to_tiles(jnp.broadcast_to(
+                    t.reshape(1, ln), (TILE_B, ln)
+                ))
+                for t, ln in zip(tables, forms.coef_lens)
+            )
         else:
-            # per coefficient array: unbatched replicates across members
+            # per coefficient table: unbatched replicates across members
             # (as the library path's broadcast of shared params does), a
             # leading batch axis must EQUAL the state batch — the library
             # path (the fused path's correctness reference) vmaps members
             # pairwise and rejects size-1 broadcasting, so accepting it
             # here would silently break the parity contract
-            def member_rows(arr, tail_ndim, flat, tag):
-                lead = arr.shape[:arr.ndim - tail_ndim]
+            def member_rows(arr, flat, tag):
+                lead = arr.shape[:-1]
+                if arr.shape[-1] != flat:
+                    raise ValueError(
+                        f"{forms.name}: coefficient table {tag} has flat "
+                        f"length {arr.shape[-1]}, declared {flat}"
+                    )
                 if lead == ():
                     return jnp.broadcast_to(arr.reshape(1, flat), (b, flat))
                 if lead != (b,):
                     raise ValueError(
-                        f"batched chain parameters must carry a leading "
-                        f"batch axis equal to the state batch ({b}); got "
-                        f"{tag} shape {tuple(arr.shape)} (broadcast size-1 "
-                        f"axes explicitly, as the library path requires)"
+                        f"batched {forms.name} parameters must carry a "
+                        f"leading batch axis equal to the state batch ({b}); "
+                        f"got table {tag} shape {tuple(arr.shape)} "
+                        f"(broadcast size-1 axes explicitly, as the library "
+                        f"path requires)"
                     )
                 return arr.reshape(b, flat)
 
-            cm_b = member_rows(cmat, 2, n * n, "C_ij")
-            gu_b = member_rows(gu, 1, n, "g·l·S")
-        return state + (_to_tiles(cm_b), _to_tiles(gu_b))
+            ops = tuple(
+                _to_tiles(member_rows(t, ln, ti))
+                for ti, (t, ln) in enumerate(
+                    zip(tables, forms.coef_lens)
+                )
+            )
+        return state + ops
 
     def step(carry, dt):
         if static_mode:
             tiles, params = carry, ()
         else:
-            tiles, params = carry[:-2], carry[-2:]
+            tiles, params = carry[:n_sv], carry[n_sv:]
         dt_tile = jnp.full((8, 128), dt, carry[0].dtype)
         out = _kernel_step(dt_tile, *params, *tiles)
         return tuple(out) + tuple(params) if n_par else tuple(out)
@@ -665,6 +742,162 @@ def serial_chain_stepper(
     def extract(carry):
         return Phase(_from_tiles(carry[0]), _from_tiles(carry[1]))
 
-    order = 2 if composition == (1.0,) else 4  # triple jump raises by 2
+    order = 2 if composition == (1.0,) else 4  # symmetric compositions
     return Stepper(init, step, extract, order=order, symplectic=True,
                    substeps=steps_per_call)
+
+
+# ----------------------------------------------------------------------
+# The planar serial-chain family (pendulum, double pendulum, N-link chain)
+# ----------------------------------------------------------------------
+
+
+def serial_chain_forms(masses, lengths, gravity) -> FusedForms:
+    """:class:`FusedForms` for the planar serial linkage family (pendulum,
+    double pendulum, N-link chain — reference ``app/Examples.hs:61-183``
+    members plus the BASELINE chain config), whose closed forms make every
+    per-step quantity computable from ``2n`` transcendentals and per-link
+    coefficients:
+
+    * mass matrix      ``K_ij(q)   = l_i·l_j·cos(θ_i−θ_j)·S_max(i,j)``
+    * potential grad   ``∇U_i(q)   = g·l_i·sin(θ_i)·S_i``
+    * kinetic gradient ``∂T/∂θ_k|w = −l_k·w_k·Σ_j l_j·sin(θ_k−θ_j)·S_kj·w_j``
+    * potential        ``U(q)      = Σ_i g·l_i·S_i·(1 − cos θ_i)``
+
+    with ``S_r = Σ_{k≥r} m_k`` the suffix mass sums.  All pairwise
+    ``sin/cos(θ_i−θ_j)`` come from the ``n`` sin/cos pairs by the
+    angle-subtraction identities — vector FMAs, not transcendentals.
+
+    Coefficient tables: ``C_ij = l_i·l_j·S_max(i,j)`` (flat n²) and
+    ``g·l_i·S_i`` (n).
+    """
+    if isinstance(masses, (list, tuple)):
+        n = len(masses)
+    else:
+        n = int(masses.shape[-1])
+    n_len = len(lengths) if isinstance(lengths, (list, tuple)) else int(
+        lengths.shape[-1]
+    )
+    if n_len != n:
+        raise ValueError(f"need {n} lengths, got {n_len}")
+
+    m_c = concrete_vec(masses, n)
+    l_c = concrete_vec(lengths, n)
+    g_c = concrete_scalar(gravity)
+    consts = None
+    if m_c is not None and l_c is not None and g_c is not None:
+        suff = _suffix_sums(m_c)  # S_r
+        consts = (
+            tuple(
+                l_c[i] * l_c[j] * suff[max(i, j)]
+                for i in range(n) for j in range(n)
+            ),
+            tuple(g_c * l_c[i] * suff[i] for i in range(n)),
+        )
+
+    def arrays_fn(dtype):
+        """Runtime mode: the flat coefficient tables from the (possibly
+        traced/batched) parameters."""
+        m_ = jnp.asarray(masses).astype(dtype)
+        l_ = jnp.asarray(lengths).astype(dtype)
+        g_ = jnp.asarray(gravity).astype(dtype)
+        suffix = jnp.cumsum(m_[..., ::-1], axis=-1)[..., ::-1]  # S_r
+        # S_max(i,j) = min(S_i, S_j): the suffix sums are non-increasing
+        smax = jnp.minimum(suffix[..., :, None], suffix[..., None, :])
+        cmat = l_[..., :, None] * l_[..., None, :] * smax
+        gu = g_[..., None] * l_ * suffix
+        cmat = cmat.reshape(cmat.shape[:-2] + (n * n,))
+        # align leading batch axes: a batched table next to an unbatched one
+        # is resolved by fused_stepper's member_rows (broadcast vs B-check)
+        return cmat, gu
+
+    def make(at, fm):
+        cm = lambda i, j: at[0](i * n + j)  # noqa: E731
+        gu_at = at[1]
+
+        def aux(q):
+            return tuple(fm.sin(qi) for qi in q) + tuple(
+                fm.cos(qi) for qi in q
+            )
+
+        def k_at(aux_v, q):
+            s, c = aux_v[:n], aux_v[n:]
+
+            def at_(i, j):
+                if i == j:
+                    # cos(0)·C_ii exactly (not c²+s² with its rounding)
+                    return fm.full(cm(i, i), s[0])
+                return cm(i, j) * (c[i] * c[j] + s[i] * s[j])
+
+            return at_
+
+        def dhdq(aux_v, q, w):
+            """∂H/∂q = ∇U − ∂T/∂q|_w, from the trig pairs at this q.
+
+            Dot-product form: Σ_j C_kj·sin(θk−θj)·w_j = s_k·Σ_j C_kj·(c_j·w_j)
+            − c_k·Σ_j C_kj·(s_j·w_j) — 4n²+O(n) vector ops instead of 6n²
+            (the j=k term contributes s_k·C_kk·c_k·w_k to both sums and
+            cancels exactly in real arithmetic; in floats it perturbs at the
+            rounding level, below the integrator's own f32 noise)."""
+            s, c = aux_v[:n], aux_v[n:]
+            cw = [c[j] * w[j] for j in range(n)]
+            sw = [s[j] * w[j] for j in range(n)]
+            out = []
+            for k in range(n):
+                acc_c = cm(k, 0) * cw[0]
+                acc_s = cm(k, 0) * sw[0]
+                for j in range(1, n):
+                    acc_c = acc_c + cm(k, j) * cw[j]
+                    acc_s = acc_s + cm(k, j) * sw[j]
+                out.append(
+                    gu_at(k) * s[k] + w[k] * (s[k] * acc_c - c[k] * acc_s)
+                )
+            return out
+
+        def potential(aux_v, q):
+            """U(q) = Σ_i g·l_i·S_i·(1 − cos θ_i) — the chain's gravitational
+            potential in the same zero convention as the model's cumsum
+            coordinate map (y measured downward from the pivot)."""
+            c = aux_v[n:]
+            u = gu_at(0) * (1.0 - c[0])
+            for i in range(1, n):
+                u = u + gu_at(i) * (1.0 - c[i])
+            return u
+
+        return FamilyFns(aux, k_at, dhdq, potential)
+
+    return FusedForms(
+        n=n, n_aux=2 * n, coef_lens=(n * n, n), consts=consts,
+        arrays_fn=arrays_fn, make=make, name="serial_chain",
+    )
+
+
+def serial_chain_stepper(
+    masses,
+    lengths,
+    gravity,
+    *,
+    iters=(3, 1),
+    compensated: bool = False,
+    steps_per_call: int = 1,
+    composition=(1.0,),
+):
+    """Build a fused whole-step leapfrog :class:`Stepper` for a planar serial
+    chain with the given per-link masses/lengths and gravity.
+
+    ``masses``/``lengths`` are length-n sequences or arrays ``(..., n)``;
+    ``gravity`` a scalar or ``(...)`` array.  Concrete unbatched values are
+    baked into the kernel as immediate constants (the fastest mode); traced
+    or batched values become per-member coefficient tiles computed at
+    ``init`` and carried with the state (parameter sweeps: a leading batch
+    axis must EQUAL the state batch ``B``, matching the library path's
+    member-pairwise vmap semantics).
+
+    Convenience wrapper over :func:`fused_stepper` +
+    :func:`serial_chain_forms` (see those for the knob semantics).
+    """
+    return fused_stepper(
+        serial_chain_forms(masses, lengths, gravity),
+        iters=iters, compensated=compensated,
+        steps_per_call=steps_per_call, composition=composition,
+    )

@@ -85,6 +85,7 @@ class System:
         pallas_step: Optional[Callable[..., object]] = None,
         params=None,
         inertia_fn: Optional[Callable[..., jax.Array]] = None,
+        fused_forms: Optional[Callable[..., object]] = None,
     ):
         if inertia_fn is not None:
             if params is None:
@@ -131,6 +132,14 @@ class System:
         # stepper-build time, so its physics constants come from the live
         # ``params``/``inertia`` leaves (parameter edits and sweeps reach it).
         self.pallas_step = pallas_step
+        # Optional closed-form family contract,
+        # ``fused_forms(system) -> ops.pallas_step.FusedForms`` — the
+        # declarative way to join the fused-kernel family: the fused methods
+        # build their stepper from it via ``fused_stepper``, and the
+        # double-f32 drift sampler reads its potential/mass-matrix closed
+        # forms.  ``pallas_step`` (a fully custom stepper factory) takes
+        # precedence when both are set.
+        self.fused_forms = fused_forms
 
     # -- params plumbing ------------------------------------------------
     @property
@@ -300,12 +309,13 @@ class System:
             self.coords, self.potential, self._n, self.name,
             self.jacobian_fn, self.mass_matrix_fn, self.dtdq_fn,
             self.pallas_step, self.inertia_fn, self._params_ndim,
+            self.fused_forms,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (coords, potential, n, name, jacobian_fn, mass_matrix_fn, dtdq_fn,
-         pallas_step, inertia_fn, params_ndim) = aux
+         pallas_step, inertia_fn, params_ndim, fused_forms) = aux
         (inertia, params) = children
         obj = cls.__new__(cls)
         obj._inertia = inertia
@@ -320,6 +330,7 @@ class System:
         obj.mass_matrix_fn = mass_matrix_fn
         obj.dtdq_fn = dtdq_fn
         obj.pallas_step = pallas_step
+        obj.fused_forms = fused_forms
         return obj
 
     def replace_params(self, params) -> "System":
@@ -366,6 +377,7 @@ def mk_system(
     pallas_step: Optional[Callable[..., object]] = None,
     params=None,
     inertia_fn: Optional[Callable[..., jax.Array]] = None,
+    fused_forms: Optional[Callable[..., object]] = None,
 ) -> System:
     """Create a system from generalized-coordinate data.
 
@@ -412,11 +424,18 @@ def mk_system(
         system expecting the potential/overrides to follow.
       inertia_fn: optional ``params -> (m,)`` derivation of the inertia
         vector, keeping it in sync with swept parameters by construction.
+      fused_forms: optional ``system -> FusedForms`` factory declaring the
+        system's closed-form family contract with the fused whole-step
+        kernel (ops/pallas_step.py) — enables ``method="leapfrog_fused"``
+        (and the order-4 fused compositions) plus the double-f32 drift
+        sampler.  Called with the LIVE system, so parameter edits and
+        sweeps reach the kernel's coefficient tables.
     """
     system = System(
         inertia, coords, potential, n=n, name=name, jacobian_fn=jacobian_fn,
         mass_matrix_fn=mass_matrix_fn, dtdq_fn=dtdq_fn,
         pallas_step=pallas_step, params=params, inertia_fn=inertia_fn,
+        fused_forms=fused_forms,
     )
     if n is not None:
         _validate_system(system, n)
@@ -521,15 +540,18 @@ def mk_system_cart(
     pallas_step: Optional[Callable[..., object]] = None,
     params=None,
     inertia_fn: Optional[Callable[..., jax.Array]] = None,
+    fused_forms: Optional[Callable[..., object]] = None,
 ) -> System:
     """Create a system with the potential stated in *Cartesian* coordinates.
 
     Analog of reference ``mkSystem'`` = ``mkSystem m f (u . f)``
     (``Numeric/Hamilton.hs:238-254``).  See :func:`mk_system` for
     ``jacobian_fn`` / ``mass_matrix_fn`` / ``dtdq_fn`` / ``params`` /
-    ``inertia_fn``; with ``params`` given, ``potential_cart`` is called as
-    ``potential_cart(x, params)``.  ``pallas_step`` attaches a fused
-    whole-step kernel factory (ops/pallas_step.py).
+    ``inertia_fn`` / ``fused_forms``; with ``params`` given,
+    ``potential_cart`` is called as ``potential_cart(x, params)``.
+    ``pallas_step`` attaches a fully custom fused whole-step kernel factory
+    (ops/pallas_step.py); ``fused_forms`` the declarative closed-form
+    family contract.
     """
     if params is not None:
         potential = lambda q, p: potential_cart(coords(q, p), p)  # noqa: E731
@@ -539,7 +561,7 @@ def mk_system_cart(
         inertia, coords, potential, n=n, name=name,
         jacobian_fn=jacobian_fn, mass_matrix_fn=mass_matrix_fn,
         dtdq_fn=dtdq_fn, pallas_step=pallas_step, params=params,
-        inertia_fn=inertia_fn,
+        inertia_fn=inertia_fn, fused_forms=fused_forms,
     )
     if n is not None:
         _validate_system(system, n)

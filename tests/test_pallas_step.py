@@ -386,8 +386,6 @@ class TestFusedStep:
                                    np.asarray(traj_l.q), rtol=0, atol=1e-12)
 
     def test_validation_errors(self, ph4):
-        from hamilton_tpu.models import spring
-
         ex = chain(n_links=4)
         st = make_stepper(ex.system, "leapfrog_fused", iters=(3, 1))
         with pytest.raises(ValueError, match="multiple of 1024"):
@@ -397,10 +395,13 @@ class TestFusedStep:
         with pytest.raises(ValueError, match="iters_p"):
             make_stepper(ex.system, "leapfrog_fused", iters=(0, 1))
         # systems without the closed forms refuse the method
-        sp = spring()
-        assert sp.system.pallas_step is None
-        with pytest.raises(ValueError, match="no fused step"):
-            make_stepper(sp.system, "leapfrog_fused")
+        from hamilton_tpu.models import bezier
+
+        bz = bezier()
+        assert bz.system.pallas_step is None
+        assert bz.system.fused_forms is None
+        with pytest.raises(ValueError, match="no fused-kernel closed forms"):
+            make_stepper(bz.system, "leapfrog_fused")
         with pytest.raises(ValueError, match="steps_per_call"):
             make_stepper(ex.system, "leapfrog", steps_per_call=4)
 

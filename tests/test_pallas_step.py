@@ -517,3 +517,116 @@ class TestFusedStep:
                 ex.system, ph4, 1e-3, 45, method="leapfrog_fused",
                 iters=(3, 1), drift_every=45, steps_per_call=10,
             )
+
+
+class TestFusedFamilies:
+    """The non-chain model families on the declarative FusedForms contract
+    (each defined alongside its model in hamilton_tpu/models/*.py): the
+    fused kernel must reproduce the library leapfrog (the AD path) exactly,
+    and the closed-form potential must equal the library ``pe`` — these are
+    the docs/api.md "Joining the fused family" reference implementations."""
+
+    CASES = {
+        # model name → (example factory, IC center, IC spread)
+        "spherical": (lambda: None, [1.0, 0.3], 0.05),
+        "two_body": (lambda: None, [2.0, 0.1], 0.05),
+        "spring": (lambda: None, [0.2, 0.1, 0.3], 0.05),
+        "room": (lambda: None, [-1.0, 0.25], 0.05),
+    }
+
+    @staticmethod
+    def _example(name):
+        from hamilton_tpu.models import (
+            room, spherical_pendulum, spring, two_body,
+        )
+
+        return {
+            "spherical": spherical_pendulum,
+            "two_body": two_body,
+            "spring": spring,
+            "room": room,
+        }[name]()
+
+    def _phase(self, name, seed=7):
+        _, q0, scale = self.CASES[name]
+        n = len(q0)
+        rng = np.random.default_rng(seed)
+        return Phase(
+            jnp.asarray(np.array(q0) + scale * rng.standard_normal((B, n))),
+            jnp.asarray(scale * rng.standard_normal((B, n))),
+        )
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_matches_library(self, name):
+        ex = self._example(name)
+        ph = self._phase(name)
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(ex.system, "leapfrog", iters=(3, 2))
+        fus = make_stepper(ex.system, "leapfrog_fused", iters=(3, 2))
+        c_lib = lib.init(ph)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.init(ph)
+            for _ in range(2):
+                c_lib = lib.step(c_lib, dt)
+                c_fus = fus.step(c_fus, dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-13)
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_closed_form_potential(self, name):
+        """FamilyFns.potential ≡ library pe (powers the double-f32 drift
+        sampler, which must measure the SAME Hamiltonian the library does)."""
+        from hamilton_tpu.mechanics import pe
+        from hamilton_tpu.ops.pallas_step import FM_JNP
+
+        ex = self._example(name)
+        ph = self._phase(name)
+        forms = ex.system.fused_forms(ex.system)
+        fam = forms.make(forms.const_accessors(), FM_JNP)
+        cols = [ph.q[:, i] for i in range(forms.n)]
+        u_forms = fam.potential(fam.aux(cols), cols)
+        u_lib = pe(ex.system, ph.q)
+        np.testing.assert_allclose(np.asarray(u_forms), np.asarray(u_lib),
+                                   rtol=0, atol=1e-13)
+
+    def test_two_body_sweep_matches_library(self):
+        """Per-member (m1, m2) grids ride the runtime coefficient tiles of
+        the two_body family exactly as the chain family's sweeps do."""
+        rng = np.random.default_rng(9)
+        ex = self._example("two_body")
+        sysb = ex.system.replace_params({
+            "m1": jnp.asarray(4.0 + rng.random(B)),
+            "m2": jnp.asarray(0.3 + 0.3 * rng.random(B)),
+        })
+        ph = self._phase("two_body")
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(sysb, "leapfrog", iters=(3, 2))
+        fus = make_stepper(sysb, "leapfrog_fused", iters=(3, 2))
+        c_lib = lib.init(ph)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.init(ph)
+            for _ in range(2):
+                c_lib = lib.step(c_lib, dt)
+                c_fus = fus.step(c_fus, dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-13)
+
+    def test_spherical_conserves_azimuthal_momentum(self):
+        """p_φ is exactly conserved by the spherical closed forms: the fused
+        dhdq has a structural zero in the φ row, so the kernel preserves it
+        to the last bit over a multi-step block."""
+        ex = self._example("spherical")
+        ph = self._phase("spherical")
+        fus = make_stepper(ex.system, "leapfrog_fused", iters=(2, 1),
+                           steps_per_call=5)
+        with pltpu.force_tpu_interpret_mode():
+            c = fus.step(fus.init(ph), jnp.float64(1e-3))
+            out = fus.extract(c)
+        np.testing.assert_array_equal(np.asarray(out.p[:, 1]),
+                                      np.asarray(ph.p[:, 1]))

@@ -110,15 +110,37 @@ def _build(batch, dtype, n_links=20):
 def _timed_chunked_run(args, system, ph, *, method, iters, dt, n_steps,
                        chunk_steps, steps_per_call):
     """One chunked compensated evolve with steady-chunk wall timing and
-    on-device f64 drift sampling — the shared measurement core of the
-    throughput/margin/sweep phases (and scripts/probe_dthalf.py).
+    on-device high-precision drift sampling — the shared measurement core
+    of the throughput/margin/sweep phases (and scripts/probe_dthalf.py).
+
+    The drift sampler prefers **double-f32** (``drift_dtype="df32"``,
+    ops/df32.py: the system's closed forms in Dekker-pair arithmetic, ~2⁻⁴⁹
+    pair roundoff at f32 VPU cost) over the round-3 emulated-f64 library
+    evaluation, which measured ~8 ms/sample — the headline's last ~8%
+    (docs/design.md round-3).  Systems without fused forms fall back to
+    f64.  The df32 measurement is cross-validated against the f64 library
+    H on the final state (``drift_sampler_xval`` — expect ≲1e-9; the two
+    samplers agree because both read the SAME trajectory and the same
+    parameter values).
 
     Chunk 0 pays compile + the relay's first-execution penalty and is
     excluded from the throughput (reported as ``first_chunk_s``) unless it
-    is the only chunk.  Callers hold ``jax.enable_x64`` for the f64 drift
-    measurement.
+    is the only chunk.  Callers hold ``jax.enable_x64`` for the f64 anchor
+    arithmetic either way.
     """
     from hamilton_tpu.ensemble import evolve_ensemble_chunked
+    from hamilton_tpu.mechanics import hamiltonian
+
+    drift_dtype = jnp.float64
+    sampler = "f64"
+    try:
+        from hamilton_tpu.ops.df32 import fused_measure_h
+
+        measure_df = fused_measure_h(system)  # raises if no closed forms
+        drift_dtype = "df32"
+        sampler = "df32"
+    except ValueError:
+        measure_df = None
 
     chunk_wall = []
     t_last = [time.perf_counter()]
@@ -132,14 +154,14 @@ def _timed_chunked_run(args, system, ph, *, method, iters, dt, n_steps,
         system, ph, dt, n_steps, chunk_steps=chunk_steps,
         method=method, iters=iters, compensated=True,
         drift_every=min(args.drift_every, chunk_steps),
-        drift_dtype=jnp.float64, callback=on_chunk,
+        drift_dtype=drift_dtype, callback=on_chunk,
         steps_per_call=steps_per_call,
     )
     jax.block_until_ready(final.q)
     max_drift = float(jnp.max(drift))
     steady = chunk_wall[1:] if len(chunk_wall) > 1 else chunk_wall
     el = sum(steady)
-    return {
+    out = {
         # batch from the phase itself, not args.batch: callers may time a
         # differently-sized ensemble than the headline's
         "member_steps_per_sec": ph.q.shape[0] * chunk_steps * len(steady) / el,
@@ -148,7 +170,16 @@ def _timed_chunked_run(args, system, ph, *, method, iters, dt, n_steps,
         "first_chunk_s": round(chunk_wall[0], 1),
         "elapsed_steady_s": round(el, 3),
         "steady_chunks": len(steady),
+        "drift_sampler": sampler,
     }
+    if measure_df is not None:
+        sys64 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64), system
+        )
+        h_df = measure_df(final)
+        h_64 = hamiltonian(sys64, final.astype(jnp.float64))
+        out["drift_sampler_xval"] = float(jnp.max(jnp.abs(h_df - h_64)))
+    return out
 
 
 def phase_throughput(args):
@@ -204,8 +235,11 @@ def phase_throughput(args):
         "first_chunk_s": r["first_chunk_s"],
         "tpu_max_energy_drift_f32comp": r["max_drift"],
         "tpu_drift_steps": n_steps,
+        "drift_sampler": r["drift_sampler"],
         "platform": jax.devices()[0].platform,
     }
+    if "drift_sampler_xval" in r:
+        out["drift_sampler_xval"] = r["drift_sampler_xval"]
     if fallback_error:
         out["fused_fallback_error"] = fallback_error
     return out

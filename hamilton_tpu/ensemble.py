@@ -102,8 +102,22 @@ def _drift_measure(system: System, phase0: Phase, drift_dtype):
     the energy *measurement* at higher precision than the trajectory — at
     f32 the H-evaluation's own rounding (~1e-6 relative) otherwise masks the
     true drift of a compensated integration.
+
+    ``drift_dtype="df32"`` selects the double-f32 sampler
+    (:func:`hamilton_tpu.ops.df32.fused_measure_h`): the same precision
+    class as f64 for this purpose (~2⁻⁴⁹ pair roundoff vs a ~1e-7-level
+    measurement) at f32 VPU cost, evaluated from the system's fused-family
+    closed forms.  Requires ``system.fused_forms`` with a declared
+    potential; x64 must be enabled (for the transcendental splits and the
+    f64 recombination).
     """
-    if drift_dtype is not None:
+    if isinstance(drift_dtype, str):
+        if drift_dtype != "df32":
+            raise ValueError(f"unknown drift_dtype {drift_dtype!r}")
+        from hamilton_tpu.ops.df32 import fused_measure_h
+
+        measure_h = fused_measure_h(system)
+    elif drift_dtype is not None:
         h_system = jax.tree_util.tree_map(
             lambda a: a.astype(drift_dtype), system
         )

@@ -69,10 +69,13 @@ class TestTimedChunkedRun:
             A(), system, ph, method="leapfrog", iters=(2, 1), dt=1e-3,
             n_steps=100, chunk_steps=50, steps_per_call=1,
         )
-        assert set(r) == {
+        assert set(r) >= {
             "member_steps_per_sec", "max_drift", "steps", "first_chunk_s",
-            "elapsed_steady_s", "steady_chunks",
+            "elapsed_steady_s", "steady_chunks", "drift_sampler",
         }
+        # chain carries fused_forms → df32 sampler, cross-validated vs f64
+        assert r["drift_sampler"] == "df32"
+        assert r["drift_sampler_xval"] < 1e-8
         assert r["steps"] == 100
         assert r["steady_chunks"] == 1  # chunk 0 excluded when >1 chunk
         assert r["member_steps_per_sec"] > 0

@@ -245,6 +245,57 @@ def phase_throughput(args):
     return out
 
 
+def phase_roofline(args, headline_rate):
+    """Roofline/MFU accounting (VERDICT r3 item 4): how much of the chip the
+    headline actually uses.
+
+    Static side: the fused kernel's exact per-member-step FLOP count from
+    its own jaxpr (``utils.roofline.fused_step_cost`` — the closed forms
+    make this a count, not an estimate).  Measured side: elementwise-f32
+    and HBM speed-of-light Pallas probes on the same device.  Combines
+    them with the measured headline rate into ``fused_vpu_util`` /
+    ``fused_hbm_util``.
+    """
+    from hamilton_tpu.utils.roofline import (
+        fused_step_cost, hbm_peak_probe, vpu_peak_probe,
+    )
+
+    system, _ = _build(args.batch, jnp.float32)
+    cost = fused_step_cost(
+        system, method="leapfrog_fused", iters=args.iters,
+        steps_per_call=args.steps_per_call, compensated=True,
+        batch=min(args.batch, 1024),
+    )
+    out = {
+        "fused_flops_per_member_step": round(
+            cost["flops_per_member_step"], 1
+        ),
+        "fused_transcendentals_per_member_step": round(
+            cost["transcendentals_per_member_step"], 1
+        ),
+        "fused_bytes_per_member_step": round(
+            cost["bytes_per_member_step"], 1
+        ),
+    }
+    if jax.devices()[0].platform == "cpu":
+        # the speed-of-light probes are Pallas kernels: no meaningful (or
+        # compilable) CPU analog — report the static counts only
+        out["roofline_probes"] = "skipped (cpu)"
+        return out
+    vpu = vpu_peak_probe()
+    hbm = hbm_peak_probe()
+    out["vpu_peak_probe_gflops"] = round(vpu / 1e9, 1)
+    out["hbm_peak_probe_gbps"] = round(hbm / 1e9, 1)
+    if headline_rate:
+        achieved = headline_rate * cost["flops_per_member_step"]
+        out["fused_achieved_gflops"] = round(achieved / 1e9, 1)
+        out["fused_vpu_util"] = round(achieved / vpu, 3)
+        out["fused_hbm_util"] = round(
+            headline_rate * cost["bytes_per_member_step"] / hbm, 4
+        )
+    return out
+
+
 def phase_margin(args):
     """Margin datapoints beyond the headline (VERDICT r2 item 4).
 
@@ -647,6 +698,7 @@ def main(argv=None):
     ap.add_argument("--margin-steps", type=int, default=100_000)
     ap.add_argument("--sweep-steps", type=int, default=100_000)
     ap.add_argument("--skip-margin", action="store_true")
+    ap.add_argument("--skip-roofline", action="store_true")
     ap.add_argument("--skip-sweep", action="store_true")
     ap.add_argument("--skip-adaptive", action="store_true")
     ap.add_argument("--quick", action="store_true",
@@ -699,6 +751,11 @@ def main(argv=None):
         value = extras["member_steps_per_sec"]
     except Exception as e:  # pragma: no cover
         extras["throughput_error"] = f"{type(e).__name__}: {e}"[:200]
+    if not args.skip_roofline:
+        try:
+            extras.update(phase_roofline(args, value))
+        except Exception as e:  # pragma: no cover
+            extras["roofline_error"] = f"{type(e).__name__}: {e}"[:200]
     if not args.skip_margin:
         try:
             extras.update(phase_margin(args))

@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Chaos map of the double pendulum over an (angle × mass) parameter grid.
 
-The round-3 capability showcase: an (IC × parameter) ensemble on the native
-hot path.  Every grid cell is a double pendulum with its own initial angle
-θ₀ AND its own second-bob mass m₂ (a batched ``System.params`` sweep — the
+The capability showcase: an (IC × parameter) ensemble on the native hot
+path.  Every grid cell is a double pendulum with its own initial angle θ₀
+AND its own second-bob mass m₂ (a batched ``System.params`` sweep — the
 per-member physics rides the same kernels as a shared system), evolved as
-ONE ensemble, with the largest-Lyapunov-exponent estimate computed from
-paired perturbed trajectories (`utils.lyapunov_estimate`).  The reference
-can express none of this: its `System` is a closure record with baked
-masses and its driver integrates one trajectory at a time
+ONE ensemble, with the largest Lyapunov exponent measured by **streaming
+Benettin pairs** (`utils.LyapunovPairs`): renormalized log-growth
+accumulates inside the evolution loop, so no trajectory is emitted and the
+scan runs at arbitrary horizons (the round-3 emitted-trajectory estimator
+saturated once ‖Δz‖ reached attractor size, t ≈ 15).  The reference can
+express none of this: its `System` is a closure record with baked masses
+and its driver integrates one trajectory at a time
 (``Numeric/Hamilton.hs:438-440``).
 
 Output: an ASCII heat map (rows = m₂, cols = θ₀) of λ_max.  The lower rows
@@ -61,10 +64,10 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    from hamilton_tpu.ensemble import evolve_ensemble
+    from hamilton_tpu.ensemble import evolve_ensemble_final
     from hamilton_tpu.models import chain
     from hamilton_tpu.state import Phase
-    from hamilton_tpu.utils.observables import lyapunov_estimate
+    from hamilton_tpu.utils.observables import LyapunovPairs
 
     dtype = jnp.float32 if args.fused else jnp.float64
     if args.eps is None:
@@ -83,31 +86,46 @@ def main(argv=None) -> int:
     tg, mg = jnp.meshgrid(theta, m2)          # (rows, cols)
     tg, mg = tg.reshape(-1), mg.reshape(-1)   # (b,)
 
+    # Streaming Benettin pairs (utils.LyapunovPairs): the λ estimate
+    # accumulates INSIDE the evolution loop with periodic renormalization,
+    # so no trajectory is ever emitted and the scan runs at FULL horizons
+    # (1e5+ steps) where an emitted-pair estimator saturates after the
+    # linear window (‖Δz‖ reaches attractor size in t ≈ ln(size/ε)/λ ≈ 15).
     pad = 0
     if args.fused:
         # fused kernel batches are register tiles of 1024 members; pad the
-        # PAIRED batch (2b) up and drop the padding after the run
-        pair_b = 2 * b
-        pad = (-pair_b) % 1024
+        # interleaved pair batch (2b) up — by PAIRS, so alignment holds —
+        # and drop the padding after the run
+        pad = (-2 * b) % 1024
+        assert pad % 2 == 0
         method, iters = "leapfrog_fused", (3, 1)
     else:
         method, iters = "leapfrog", (3, 1)
 
-    def paired(x):
-        """[grid; grid(+eps); padding] along the batch axis."""
-        out = jnp.concatenate([x, x])
+    def interleave_params(x):
+        """Per-pair parameters: each grid cell's params repeated for both
+        pair members, then pair-padded."""
+        out = jnp.repeat(x, 2, axis=0)
         if pad:
-            out = jnp.concatenate([out, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+            out = jnp.concatenate(
+                [out, jnp.broadcast_to(out[:1], (pad,) + x.shape[1:])]
+            )
         return out
 
     q0 = jnp.stack([tg, jnp.zeros_like(tg)], axis=-1)       # (b, 2)
-    q0 = paired(q0).at[b : 2 * b, 1].add(jnp.asarray(args.eps, dtype))
-    p0 = jnp.zeros_like(q0)
+    ph0 = LyapunovPairs.pair_ensemble(
+        Phase(q0, jnp.zeros_like(q0)), args.eps
+    )
+    if pad:
+        ph0 = Phase(
+            jnp.concatenate([ph0.q, jnp.broadcast_to(ph0.q[:1], (pad, 2))]),
+            jnp.concatenate([ph0.p, jnp.broadcast_to(ph0.p[:1], (pad, 2))]),
+        )
 
     sysb = ex.system.replace_params({
-        "masses": paired(jnp.stack([jnp.ones_like(mg), mg], axis=-1)),
-        "lengths": paired(jnp.broadcast_to(arm_lengths, (b, 2))),
-        "gravity": paired(jnp.full((b,), 5.0, dtype)),
+        "masses": interleave_params(jnp.stack([jnp.ones_like(mg), mg], axis=-1)),
+        "lengths": interleave_params(jnp.broadcast_to(arm_lengths, (b, 2))),
+        "gravity": interleave_params(jnp.full((b,), 5.0, dtype)),
     })
 
     from contextlib import nullcontext
@@ -119,24 +137,22 @@ def main(argv=None) -> int:
 
         ctx = pltpu.force_tpu_interpret_mode()
 
+    lp = LyapunovPairs(d0=args.eps)
     t0 = time.perf_counter()
     with ctx:
-        traj = evolve_ensemble(
-            sysb, Phase(q0, p0), args.dt, args.steps,
-            method=method, iters=iters, emit_every=args.emit_every,
-            # fused mode: run the whole inter-emission span inside one kernel
+        final, _, obs = evolve_ensemble_final(
+            sysb, ph0, args.dt, args.steps,
+            method=method, iters=iters, track_drift=False,
+            drift_every=args.steps,
+            observable=lp, obs_every=args.emit_every,
+            # fused mode: run the whole inter-sample span inside one kernel
             # invocation, carrying state + factor in VMEM
             steps_per_call=args.emit_every if args.fused else 1,
         )
-        jax.block_until_ready(traj.q)
+        jax.block_until_ready(obs["sum_log"])
     el = time.perf_counter() - t0
 
-    lam = lyapunov_estimate(
-        ex.system,
-        Phase(traj.q[:, :b], traj.p[:, :b]),
-        Phase(traj.q[:, b : 2 * b], traj.p[:, b : 2 * b]),
-        args.dt * args.emit_every,
-    ).reshape(rows, cols)
+    lam = lp.lyapunov(obs, args.dt * args.steps)[:b].reshape(rows, cols)
 
     lam = jnp.nan_to_num(lam, nan=0.0)
     lo, hi = float(jnp.min(lam)), float(jnp.max(lam))

@@ -134,7 +134,9 @@ def _drift_measure(system: System, phase0: Phase, drift_dtype):
     return measure_h, h0, h_scale
 
 
-def _final_loop_body(stepper, dt, measure_h, h0, h_scale, drift_every, track_drift):
+def _final_loop_body(stepper, dt, measure_h, h0, h_scale, drift_every,
+                     track_drift, observable=None, obs_every=None,
+                     step_offset=0):
     """The flat hot-loop body shared by the one-dispatch and chunked drivers.
 
     ONE flat loop (nested scan-of-fori de-optimizes ~5-11× on TPU); the
@@ -142,21 +144,49 @@ def _final_loop_body(stepper, dt, measure_h, h0, h_scale, drift_every, track_dri
     Loop iteration ``i`` advances ``stepper.substeps`` dt-steps (1 for the
     library steppers; >1 for the fused multi-step kernel), so the drift
     cadence is counted in dt-steps.
+
+    ``observable`` generalizes the drift sampler into a user hook (VERDICT
+    r3 item 5): every ``obs_every`` dt-steps a cond-guarded
+    ``observable.update(obs_state, phase, step)`` runs in-loop — streaming
+    reductions (running extrema, Lyapunov sums, Poincaré hit counts) over
+    full horizons with NO trajectory emission.  Observables declaring
+    ``transforms_state = True`` (e.g. Benettin renormalization) also return
+    a replacement :class:`Phase`; the driver re-inits the stepper carry
+    from it (the Kahan compensation and warm starts restart — an O(eps)
+    effect at the sample cadence, and the renormalization itself is an
+    intentional state edit far above that level).  ``step_offset`` keeps
+    the global dt-step index correct across chunk boundaries.
     """
     sub = stepper.substeps
 
     def body(i, state):
-        carry, drift = state
+        carry, drift, obs = state
         carry = stepper.step(carry, dt)
+        step = step_offset + (i + 1) * sub
         if track_drift:
             def sample(d):
                 h = measure_h(stepper.extract(carry))
                 return jnp.maximum(d, jnp.abs(h - h0) / h_scale)
 
             drift = jax.lax.cond(
-                ((i + 1) * sub) % drift_every == 0, sample, lambda d: d, drift
+                step % drift_every == 0, sample, lambda d: d, drift
             )
-        return (carry, drift)
+        if observable is not None:
+            transforms = getattr(observable, "transforms_state", False)
+
+            def do_obs(args):
+                carry_in, obs_in = args
+                ph = stepper.extract(carry_in)
+                if transforms:
+                    obs_out, ph2 = observable.update(obs_in, ph, step)
+                    return stepper.init(ph2), obs_out
+                obs_out = observable.update(obs_in, ph, step)
+                return carry_in, obs_out
+
+            carry, obs = jax.lax.cond(
+                step % obs_every == 0, do_obs, lambda a: a, (carry, obs)
+            )
+        return (carry, drift, obs)
 
     return body
 
@@ -188,7 +218,9 @@ def evolve_ensemble_final(
     compensated: bool = False,
     drift_dtype=None,
     steps_per_call: int = 1,
-) -> Tuple[Phase, Optional[jax.Array]]:
+    observable=None,
+    obs_every: Optional[int] = None,
+):
     """Evolve a batch to its final state without materializing trajectories.
 
     Returns ``(final_phase, max_drift)`` where ``max_drift`` is the running
@@ -200,6 +232,12 @@ def evolve_ensemble_final(
     horizon as ONE device dispatch — for horizons long enough to risk
     dispatch-length limits (or when host-side progress/checkpointing is
     wanted), use :func:`evolve_ensemble_chunked`.
+
+    ``observable`` (with ``obs_every``) streams a user reduction through
+    the loop carry — see :mod:`hamilton_tpu.utils.observables`
+    (:class:`StreamingObservable` protocol, ``LyapunovPairs``) and
+    ``_final_loop_body``.  When given, returns
+    ``(final_phase, max_drift, obs_state)``.
     """
     if n_steps % drift_every != 0:
         raise ValueError(f"{n_steps=} not divisible by {drift_every=}")
@@ -208,17 +246,28 @@ def evolve_ensemble_final(
         steps_per_call=steps_per_call,
     )
     sub = _check_substeps(stepper, n_steps, drift_every, track_drift)
+    if observable is not None:
+        if obs_every is None or obs_every % sub != 0:
+            raise ValueError(
+                f"observable needs obs_every set to a multiple of the "
+                f"stepper's substeps ({sub}); got {obs_every}"
+            )
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)  # batch-native: mechanics are batch-aware
     measure_h, h0, h_scale = _drift_measure(system, phase0, drift_dtype)
     body = _final_loop_body(
-        stepper, dt, measure_h, h0, h_scale, drift_every, track_drift
+        stepper, dt, measure_h, h0, h_scale, drift_every, track_drift,
+        observable=observable, obs_every=obs_every,
     )
-    carry, drift = jax.lax.fori_loop(
-        0, n_steps // sub, body, (carry0, jnp.zeros_like(h0))
+    obs0 = observable.init(phase0) if observable is not None else 0
+    carry, drift, obs = jax.lax.fori_loop(
+        0, n_steps // sub, body, (carry0, jnp.zeros_like(h0), obs0)
     )
     final = stepper.extract(carry)
-    return final, (drift if track_drift else None)
+    drift = drift if track_drift else None
+    if observable is not None:
+        return final, drift, obs
+    return final, drift
 
 
 def evolve_ensemble_chunked(
@@ -240,7 +289,10 @@ def evolve_ensemble_chunked(
     carry_callback=None,
     initial_carry=None,
     initial_drift: Optional[jax.Array] = None,
-) -> Tuple[Phase, Optional[jax.Array]]:
+    observable=None,
+    obs_every: Optional[int] = None,
+    initial_obs=None,
+):
     """Like :func:`evolve_ensemble_final`, but the horizon is executed as
     ``n_steps // chunk_steps`` separate device dispatches of one compiled
     chunk graph.
@@ -278,21 +330,48 @@ def evolve_ensemble_chunked(
         steps_per_call=steps_per_call,
     )
     sub = _check_substeps(stepper, chunk_steps, drift_every, track_drift)
+    if observable is not None:
+        if obs_every is None or obs_every % sub != 0:
+            raise ValueError(
+                f"observable needs obs_every set to a multiple of the "
+                f"stepper's substeps ({sub}); got {obs_every}"
+            )
+        if chunk_steps % obs_every != 0:
+            raise ValueError(
+                f"{chunk_steps=} not divisible by {obs_every=} (observable "
+                f"sampling must stay globally aligned across chunks)"
+            )
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)
     measure_h, h0, h_scale = _drift_measure(system, phase0, drift_dtype)
-    body = _final_loop_body(
-        stepper, dt, measure_h, h0, h_scale, drift_every, track_drift
-    )
+
+    def make_chunk_body(step_offset):
+        # step indices are chunk-aligned multiples of chunk_steps, and both
+        # drift_every and obs_every divide chunk_steps, so a single body
+        # with offset 0 is correct for every chunk — the offset argument
+        # exists for clarity and future non-aligned cadences
+        return _final_loop_body(
+            stepper, dt, measure_h, h0, h_scale, drift_every, track_drift,
+            observable=observable, obs_every=obs_every,
+            step_offset=step_offset,
+        )
+
+    body = make_chunk_body(0)
 
     @jax.jit
-    def chunk(carry, drift):
-        return jax.lax.fori_loop(0, chunk_steps // sub, body, (carry, drift))
+    def chunk(carry, drift, obs):
+        return jax.lax.fori_loop(
+            0, chunk_steps // sub, body, (carry, drift, obs)
+        )
 
     carry = carry0 if initial_carry is None else initial_carry
     drift = jnp.zeros_like(h0) if initial_drift is None else initial_drift
+    if observable is not None:
+        obs = observable.init(phase0) if initial_obs is None else initial_obs
+    else:
+        obs = 0 if initial_obs is None else initial_obs
     for ci in range(n_steps // chunk_steps):
-        carry, drift = chunk(carry, drift)
+        carry, drift, obs = chunk(carry, drift, obs)
         if callback is not None:
             jax.block_until_ready(drift)
             callback(ci, stepper.extract(carry), drift)
@@ -300,7 +379,10 @@ def evolve_ensemble_chunked(
             jax.block_until_ready(drift)
             carry_callback(ci, carry, drift)
     final = stepper.extract(carry)
-    return final, (drift if track_drift else None)
+    drift = drift if track_drift else None
+    if observable is not None:
+        return final, drift, obs
+    return final, drift
 
 
 def evolve_ensemble_sharded(
@@ -320,6 +402,8 @@ def evolve_ensemble_sharded(
     reduce_stats: Optional[str] = None,
     compensated: bool = False,
     steps_per_call: int = 1,
+    observable=None,
+    obs_every: Optional[int] = None,
 ):
     """Mesh-sharded ensemble evolution via ``jax.shard_map``.
 
@@ -378,12 +462,15 @@ def evolve_ensemble_sharded(
         )(system, phase0)
 
     def local_final(sys_local, ph_local):
-        final, drift = evolve_ensemble_final(
+        out = evolve_ensemble_final(
             sys_local, ph_local, dt, n_steps,
             method=method, iters=iters, omega=omega,
             track_drift=track_drift, drift_every=drift_every,
             compensated=compensated, steps_per_call=steps_per_call,
+            observable=observable, obs_every=obs_every,
         )
+        final, drift = out[0], out[1]
+        obs = out[2] if observable is not None else 0
         if drift is None:
             drift = jnp.zeros_like(ph_local.q[..., 0])
         if reduce_stats == "max":
@@ -392,13 +479,28 @@ def evolve_ensemble_sharded(
             drift = jax.lax.pmean(jnp.mean(drift), axis)
         elif reduce_stats is not None:
             raise ValueError(f"unknown {reduce_stats=}; use 'max' or 'mean'")
-        return final, drift
+        return final, drift, obs
 
     drift_spec = P() if reduce_stats else P(axis)
-    final, drift = jax.shard_map(
+    if observable is not None:
+        # per-member accumulator leaves shard with the ensemble; an
+        # observable with mixed (per-member + replicated-scalar) state
+        # declares its own specs via shard_specs(axis)
+        if hasattr(observable, "shard_specs"):
+            obs_spec = observable.shard_specs(axis)
+        else:
+            obs_spec = jax.tree_util.tree_map(
+                lambda _: P(axis), observable.init(phase0)
+            )
+    else:
+        obs_spec = P()
+    final, drift, obs = jax.shard_map(
         local_final,
         mesh=mesh,
         in_specs=(system_spec, P(axis)),
-        out_specs=(P(axis), drift_spec),
+        out_specs=(P(axis), drift_spec, obs_spec),
     )(system, phase0)
-    return final, (drift if track_drift else None)
+    drift = drift if track_drift else None
+    if observable is not None:
+        return final, drift, obs
+    return final, drift

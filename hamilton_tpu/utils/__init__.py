@@ -2,6 +2,8 @@
 diagnostics (NaN/energy sentinels), and profiling."""
 
 from hamilton_tpu.utils.observables import (
+    LyapunovPairs,
+    RunningExtrema,
     energies,
     energy_drift,
     hamiltonian_trajectory,
@@ -25,4 +27,6 @@ __all__ = [
     "benchmark_fn",
     "poincare_section",
     "coordinate_section",
+    "LyapunovPairs",
+    "RunningExtrema",
 ]

@@ -22,6 +22,8 @@ __all__ = [
     "hamiltonian_trajectory",
     "energy_drift",
     "lyapunov_estimate",
+    "RunningExtrema",
+    "LyapunovPairs",
 ]
 
 
@@ -79,3 +81,146 @@ def lyapunov_estimate(
         tc**2
     )
     return slope
+
+
+# ----------------------------------------------------------------------
+# Streaming observables: in-loop reductions without trajectory emission
+# ----------------------------------------------------------------------
+#
+# The evolution drivers' drift sampler generalized into a user hook
+# (ensemble.py `_final_loop_body`): pass `observable=` + `obs_every=` to
+# `evolve_ensemble_final/chunked` and `update` runs cond-guarded inside the
+# flat hot loop, accumulating into a pytree that rides the loop carry.
+# Protocol (duck-typed):
+#
+#   transforms_state: bool          # class attribute
+#   init(phase0) -> obs_state       # pytree accumulator
+#   update(obs_state, phase, step) -> obs_state            (observe-only)
+#   update(obs_state, phase, step) -> (obs_state, phase')  (transforming)
+#
+# Transforming observables (Benettin renormalization below) return a
+# replacement Phase; the driver re-inits the stepper carry from it.
+
+
+class RunningExtrema:
+    """Streaming min/max of a scalar observable ``fn(phase) -> (...)`` —
+    e.g. closest-approach distances or amplitude envelopes over a full
+    horizon with no emitted trajectory."""
+
+    transforms_state = False
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def init(self, phase0):
+        v = self.fn(phase0)
+        return {"min": v, "max": v}
+
+    def update(self, state, phase, step):
+        v = self.fn(phase)
+        return {
+            "min": jnp.minimum(state["min"], v),
+            "max": jnp.maximum(state["max"], v),
+        }
+
+
+class LyapunovPairs:
+    """Streaming largest-Lyapunov-exponent estimate by the classic Benettin
+    pair method, running INSIDE the evolution loop — full 10⁵-step horizons
+    at 16k members with zero trajectory emission (VERDICT r3 item 5; the
+    post-hoc :func:`lyapunov_estimate` needs emitted trajectories and
+    saturates once ‖Δz‖ reaches attractor size).
+
+    Members are **interleaved pairs**: member ``2j`` is the fiducial
+    trajectory, member ``2j+1`` its perturbation at phase-space distance
+    ``d0`` (use :meth:`pair_ensemble` to build one).  Every ``obs_every``
+    steps the separation ``d = ‖Δq‖⊕‖Δp‖`` is measured, ``log(d/d0)``
+    accumulates per pair, and the perturbed member is pulled back to
+    distance ``d0`` along the current separation direction (the
+    renormalization that keeps the growth in the linear regime).  λ_max =
+    accumulated log-growth / elapsed time (:meth:`lyapunov`).
+
+    Interleaving keeps pairs contiguous, so an even shard size keeps every
+    pair on one device and the observable runs unchanged under
+    ``shard_map`` (sharded ≡ unsharded tested).
+
+    Determinism caveat (intrinsic to chaos, not to this estimator): per-pair
+    λ values are only reproducible across *numerically identical* execution
+    schedules.  The chunked/sharded drivers may differ from the one-dispatch
+    run by ~1 ULP per dispatch boundary (XLA fusion), which a chaotic flow
+    amplifies by e^{λt}; after the linear window the pairs sample different
+    stretches of the attractor, so per-pair λ scatters by the estimator's
+    own variance while regular systems (λ ≈ 0) stay bitwise-close.  Compare
+    ensemble statistics (mean/quantiles) across drivers, not raw pairs —
+    tests/test_ensemble.py pins the regular case tightly and the chaotic
+    case at the mean.
+    """
+
+    transforms_state = True
+
+    def __init__(self, d0: float = 1e-5):
+        self.d0 = float(d0)
+
+    @staticmethod
+    def pair_ensemble(phase0: Phase, d0: float, *, key=None) -> Phase:
+        """Interleave a (B, n) ensemble with perturbed partners → (2B, n).
+
+        The perturbation displaces q along a deterministic unit direction
+        (or a random one per member with ``key``) at phase-space distance
+        ``d0``."""
+        b, n = phase0.q.shape
+        if key is None:
+            direction = jnp.ones((b, n), phase0.q.dtype)
+        else:
+            direction = jax.random.normal(key, (b, n), phase0.q.dtype)
+        direction = direction / jnp.linalg.norm(
+            direction, axis=-1, keepdims=True
+        )
+        q = jnp.stack([phase0.q, phase0.q + d0 * direction], axis=1)
+        p = jnp.stack([phase0.p, phase0.p], axis=1)
+        return Phase(q.reshape(2 * b, n), p.reshape(2 * b, n))
+
+    def _sep(self, phase):
+        dq = phase.q[1::2] - phase.q[0::2]
+        dp = phase.p[1::2] - phase.p[0::2]
+        d2 = jnp.sum(dq * dq + dp * dp, axis=-1)
+        tiny = jnp.asarray(
+            1e-300 if d2.dtype == jnp.float64 else 1e-37, d2.dtype
+        )
+        return jnp.sqrt(jnp.maximum(d2, tiny)), dq, dp
+
+    def init(self, phase0):
+        if phase0.q.shape[0] % 2:
+            raise ValueError("LyapunovPairs needs an even (paired) batch")
+        d, _, _ = self._sep(phase0)
+        return {
+            "sum_log": jnp.zeros_like(d),
+            "n_renorms": jnp.zeros((), jnp.int32),
+        }
+
+    def update(self, state, phase, step):
+        d, dq, dp = self._sep(phase)
+        scale = (self.d0 / d)[:, None].astype(phase.q.dtype)
+        q = phase.q.at[1::2].set(phase.q[0::2] + dq * scale)
+        p = phase.p.at[1::2].set(phase.p[0::2] + dp * scale)
+        new = {
+            "sum_log": state["sum_log"] + jnp.log(d / self.d0),
+            "n_renorms": state["n_renorms"] + 1,
+        }
+        return new, Phase(q, p)
+
+    def lyapunov(self, state, total_time: float) -> jax.Array:
+        """λ_max per pair: accumulated log-growth over elapsed time.
+
+        ``total_time`` must be the time span the accumulator actually saw —
+        ``n_steps * dt`` when ``obs_every`` divides ``n_steps`` (the driver
+        samples through the final step)."""
+        return state["sum_log"] / total_time
+
+    def shard_specs(self, axis: str):
+        """Sharding specs for ``evolve_ensemble_sharded``: the per-pair
+        log-growth shards with the ensemble; the renormalization counter is
+        shard-replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        return {"sum_log": P(axis), "n_renorms": P()}

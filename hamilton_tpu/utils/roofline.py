@@ -224,16 +224,40 @@ def fused_step_cost(system, *, method="leapfrog_fused", iters=(2, 1),
     }
 
 
-def vpu_peak_probe(groups: int = 256, reps: int = 512, chains: int = 8,
-                   warm: bool = True) -> float:
+def vpu_peak_probe(groups: int = 64, reps: int = 16384, chains: int = 16,
+                   calls: int = 3) -> float:
     """Measured elementwise-f32 ceiling, in FLOP/s.
 
     One Pallas kernel: each grid step loads a ``(chains, 8, 128)`` block
-    and runs ``reps`` fused multiply-adds on each of the ``chains``
-    independent tiles (independent chains keep the VPU pipeline full where
-    a single serial chain would measure latency).  FLOPs =
-    groups·chains·1024·2·reps.
+    and runs ``reps`` multiply-adds on each of the ``chains`` independent
+    tiles (independent chains keep the VPU pipeline full where a single
+    serial chain would measure latency).  FLOPs/call =
+    groups·chains·1024·2·reps, sized so one call runs tens of ms — far
+    above the relay's fixed dispatch cost.  Measured ILP sweep on the v5e
+    (docs/design.md round-4): 4 chains 1.2, 8 → 2.26, **16 → 3.52**
+    (the default; the peak), 32 → 3.0, 64+ spills registers and falls
+    off — so the default measures the true elementwise ceiling.
+
+    Environment traps this probe is shaped around (all measured, see
+    docs/design.md round-4): (1) x64 mode turns the loop counters i64,
+    which Mosaic fails to legalize — the probe pins x64 OFF for its own
+    trace; (2) ``jax.block_until_ready`` does NOT wait through this
+    environment's device relay (a chained kernel sequence "completed" in
+    0.23 ms — 149 Tflop/s on a chip whose VPU cannot exceed ~4), so the
+    only real synchronization is a host transfer; (3) the sync itself
+    costs a dispatch + transfer, so the probe times a ``calls`` chain and
+    a ``2·calls`` chain of *dependent* applications ``y = f(y)`` and uses
+    the DIFFERENCE — constant sync/dispatch overhead cancels exactly.
     """
+    return _probe_chain_rate(
+        _vpu_probe_fn(groups, reps, chains),
+        jnp.ones((groups, chains, 8, 128), jnp.float32),
+        calls,
+        groups * chains * 1024 * 2 * reps,
+    )
+
+
+def _vpu_probe_fn(groups, reps, chains):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -247,27 +271,65 @@ def vpu_peak_probe(groups: int = 256, reps: int = 512, chains: int = 8,
         for k in range(chains):
             o_ref[0, k] = xs[k]
 
-    spec = pl.BlockSpec((1, chains, 8, 128),
-                        lambda g: (g, 0, 0, 0),
+    spec = pl.BlockSpec((1, chains, 8, 128), lambda g: (g, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    x = jnp.ones((groups, chains, 8, 128), jnp.float32)
-    f = jax.jit(lambda a: pl.pallas_call(
+    return lambda a: pl.pallas_call(
         kernel, grid=(groups,), in_specs=[spec], out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-    )(a))
+        out_shape=jax.ShapeDtypeStruct((groups, chains, 8, 128),
+                                       jnp.float32),
+    )(a)
+
+
+def _probe_chain_rate(fn, x0, calls, work_per_call) -> float:
+    """work/s from the K-vs-2K dependent-chain difference (see
+    :func:`vpu_peak_probe` for the why).  The sync is a 1-element slice
+    pulled to host (cheap transfer; its constant cost cancels in the
+    difference).  Each timed chain starts from a DISTINCT value (x0 +
+    fresh offset): deterministic chains revisit the same (jit, value)
+    pairs across runs, which the relay's memoization would satisfy without
+    executing — the offset op itself is one elementwise pass and cancels
+    in the difference too."""
     import time
 
-    if warm:
-        jax.block_until_ready(f(x))  # compile + first-execution penalty
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(x))
-    el = time.perf_counter() - t0
-    return groups * chains * 1024 * 2 * reps / el
+    with jax.enable_x64(False):
+        f = jax.jit(fn)
+
+        def sync(y):
+            return float(y.reshape(-1)[0])
+
+        seed = [0.0]
+
+        def run(k):
+            seed[0] += 1.0
+            t0 = time.perf_counter()
+            z = x0 + jnp.float32(seed[0] * 1e-3)
+            for _ in range(k):
+                z = f(z)
+            sync(z)
+            return time.perf_counter() - t0
+
+        run(1)  # compile + first-execution penalty for kernel AND sync
+        run(1)  # steady-state dispatch path
+        diffs = []
+        for _ in range(3):
+            el_1 = run(calls)
+            el_2 = run(2 * calls)
+            if el_2 > el_1:
+                diffs.append(el_2 - el_1)
+        if not diffs:
+            raise RuntimeError(
+                "probe differencing produced no positive K-vs-2K delta "
+                "(dispatch noise exceeded the kernel work; raise calls/size)"
+            )
+        diffs.sort()
+        el = diffs[len(diffs) // 2]
+        return calls * work_per_call / el
 
 
-def hbm_peak_probe(mib: int = 256, warm: bool = True) -> float:
+def hbm_peak_probe(mib: int = 512, calls: int = 4) -> float:
     """Measured HBM read+write bandwidth, in bytes/s: a grid-strided copy
-    (one add per element) over an array ≫ VMEM."""
+    (one add per element) over an array ≫ VMEM, timed with the same
+    dependent-chain differencing as :func:`vpu_peak_probe`."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -278,16 +340,16 @@ def hbm_peak_probe(mib: int = 256, warm: bool = True) -> float:
 
     spec = pl.BlockSpec((1, 512, 8, 128), lambda g: (g, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    x = jnp.ones((groups, 512, 8, 128), jnp.float32)
-    f = jax.jit(lambda a: pl.pallas_call(
-        kernel, grid=(groups,), in_specs=[spec], out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-    )(a))
-    import time
+    size = groups * 512 * 1024
 
-    if warm:
-        jax.block_until_ready(f(x))
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(x))
-    el = time.perf_counter() - t0
-    return 2 * x.size * 4 / el
+    def fn(a):
+        return pl.pallas_call(
+            kernel, grid=(groups,), in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((groups, 512, 8, 128),
+                                           jnp.float32),
+        )(a)
+
+    return _probe_chain_rate(
+        fn, jnp.ones((groups, 512, 8, 128), jnp.float32), calls,
+        2 * size * 4,
+    )

@@ -336,3 +336,42 @@ class TestDF32:
                                   drift_dtype="f128", drift_every=10)
         with pytest.raises(ValueError, match="no fused_forms"):
             fused_measure_h(bezier().system)
+
+
+class TestRoofline:
+    """Static side of the roofline accounting (utils/roofline.py); the
+    speed-of-light probes are TPU-only (exercised via bench)."""
+
+    def test_fused_step_cost_counts(self):
+        from hamilton_tpu.models import chain
+        from hamilton_tpu.utils.roofline import fused_step_cost
+
+        ex = chain(n_links=20)
+        sys32 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), ex.system
+        )
+        c1 = fused_step_cost(sys32, iters=(2, 1), steps_per_call=1)
+        c50 = fused_step_cost(sys32, iters=(2, 1), steps_per_call=50)
+        # the factor carry makes blocked steps cheaper than single steps
+        assert c50["flops_per_member_step"] < c1["flops_per_member_step"]
+        # chain-20 at (2,1): K form ~n², chol ~n³/3, solves ~4n² → O(1e4)
+        assert 10_000 < c50["flops_per_member_step"] < 25_000
+        # ~2n transcendentals per aux evaluation, ~3 evals/step
+        assert 100 < c50["transcendentals_per_member_step"] < 200
+        assert c50["unknown_ops_per_member_step"] == 0
+        # HBM model: 6 state vectors × 20 coords × 4 B × 2 dirs / 50 steps
+        assert abs(c50["bytes_per_member_step"] - 19.2) < 1e-9
+
+    def test_count_ops_scan_multiplier(self):
+        from hamilton_tpu.utils.roofline import count_ops
+
+        def f(x):
+            def body(c, _):
+                return c * 2.0 + 1.0, None
+
+            out, _ = jax.lax.scan(body, x, None, length=7)
+            return out
+
+        j = jax.make_jaxpr(f)(jnp.ones((8,), jnp.float32))
+        c = count_ops(j)
+        assert c["flops"] == 7 * 2 * 8  # 2 ops × 8 elements × 7 iterations

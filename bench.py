@@ -310,9 +310,16 @@ def phase_margin(args):
     (trig-correction A/B shows it is increment-arithmetic rounding, with no
     cheap f32 repair).  Two datapoints follow:
 
-    1. ``yoshida4_fused`` (3,2) at the headline shape and dt over the full
-       horizon — the order-4 datapoint (5.58e-7 @ 44e6 member-steps/s;
-       (2,1) is under-converged at the larger Yoshida substeps, 2.29e-6).
+    1. ``suzuki4_fused`` (2,0) at the headline shape and dt over the full
+       horizon — the order-4 Pareto point (measured round-4: **3.17e-7 @
+       48.9e6 member-steps/s**; Suzuki's small substep coefficients keep
+       the cheap predictor-factor schedule converged where the triple
+       jump's |w₀| ≈ 1.70 middle stage needs (3,2) — the y4(3,2) point was
+       5.58e-7 @ 44.1e6, suzuki(2,1) 3.38e-7 @ 38.8e6, and suzuki(1,1)
+       over-drifts at 1.91e-6.  A ≥1e8 order-4 fused point is NOT
+       reachable by symmetric composition: even free fixed-point
+       iterations cost ≥3 leapfrog-substeps ≈ 58e6 ceiling at the 174e6
+       headline — the Pareto front is measured optimal here).
     2. **dt-margin**: since leapfrog is truncation-limited, dt=5e-4 over
        2e5 steps (the SAME physical horizon t=100, the same member-steps/s
        metric) cuts drift ~4× — the ≥5× under-bound datapoint at full
@@ -332,15 +339,16 @@ def phase_margin(args):
     n_steps = (args.margin_steps // chunk_steps) * chunk_steps
     out = {}
     try:
-        y4 = run("yoshida4_fused", (3, 2), 1e-3, n_steps, chunk_steps)
+        o4 = run("suzuki4_fused", (2, 0), 1e-3, n_steps, chunk_steps)
         out.update({
-            "y4_member_steps_per_sec": y4["member_steps_per_sec"],
-            "y4_tpu_max_energy_drift_f32comp": y4["max_drift"],
-            "y4_drift_steps": y4["steps"],
-            "y4_first_chunk_s": y4["first_chunk_s"],
+            "order4_method": "suzuki4_fused(2,0)",
+            "order4_member_steps_per_sec": o4["member_steps_per_sec"],
+            "order4_tpu_max_energy_drift_f32comp": o4["max_drift"],
+            "order4_drift_steps": o4["steps"],
+            "order4_first_chunk_s": o4["first_chunk_s"],
         })
     except Exception as e:  # pragma: no cover — phase stays fault-tolerant
-        out["y4_error"] = f"{type(e).__name__}: {e}"[:200]
+        out["order4_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         dthalf = run("leapfrog_fused", args.iters, 5e-4, 2 * n_steps,
                      chunk_steps)

@@ -89,12 +89,21 @@ def gsl_evolve_to(
     eps_rel: float = GSL_EPS_DEFAULT,
     method: str = "rkf45",
     max_steps: int = 1_000_000,
-) -> Tuple[jax.Array, jax.Array]:
+    return_stats: bool = False,
+):
     """Integrate ``y' = rhs(y)`` from ``t0`` to ``t1`` with GSL semantics.
 
     Returns ``(y(t1), h_suggest_next)`` — the suggested step is carried across
     output intervals exactly as ``gsl_odeiv2_driver_apply`` does.
     Forward integration only (``t1 >= t0``), matching every reference use.
+
+    ``return_stats=True`` appends a stats dict: ``n_steps`` / ``n_failed``
+    attempt counters and ``saturated`` — True when the loop exhausted
+    ``max_steps`` before reaching ``t1``, in which case the returned state
+    is at ``t < t1``, NOT at the requested time.  (The controller cannot
+    raise inside jit; callers that need a hard failure should check this
+    flag — ``max_steps`` exists as a progress guard against pathological
+    RHS/tolerance combinations driving h → 0.)
     """
     tab = ADAPTIVE_METHODS[method]
     order = tab.order
@@ -160,4 +169,13 @@ def gsl_evolve_to(
         n_failed=jnp.zeros((), jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, init)
+    if return_stats:
+        stats = {
+            "n_steps": out.n_steps,
+            "n_failed": out.n_failed,
+            "saturated": jnp.logical_and(
+                out.n_steps >= max_steps, out.t < t1
+            ),
+        }
+        return out.y, out.h_star, stats
     return out.y, out.h_star

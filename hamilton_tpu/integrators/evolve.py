@@ -51,7 +51,8 @@ def evolve_ham(
     h0: Optional[float] = None,
     method: str = "rkf45",
     batch_mode: str = "shared",
-) -> Phase:
+    return_stats: bool = False,
+):
     """Evolve through phase space, emitting the state at each time in ``ts``.
 
     Analog of reference ``evolveHam`` (``Numeric/Hamilton.hs:433-462``): the
@@ -79,6 +80,14 @@ def evolve_ham(
       (``Numeric/Hamilton.hs:445-448``) — at the cost of wavefront execution
       (the compiled loop runs until the slowest member finishes its
       interval; finished members mask).
+
+    ``return_stats=True`` returns ``(trajectory, stats)`` with aggregate
+    controller diagnostics: ``saturated`` — True if ANY interval (of any
+    member) exhausted the controller's ``max_steps`` progress guard before
+    reaching its endpoint (that interval's output sits short of its
+    requested time); ``max_interval_steps`` / ``total_failed`` attempt
+    counters.  Off by default: the counters ride the adaptive loop carry
+    either way, so the flag only changes the return shape.
     """
     ts = jnp.asarray(ts)
     if ts.ndim != 1 or ts.shape[0] < 2:
@@ -100,14 +109,22 @@ def evolve_ham(
         def interval(carry, t_pair):
             y, h = carry
             t_lo, t_hi = t_pair
-            y1, h1 = gsl_evolve_to(
+            y1, h1, st = gsl_evolve_to(
                 rhs, y, t_lo, t_hi, h,
                 eps_abs=eps_abs, eps_rel=eps_rel, method=method,
+                return_stats=True,
             )
-            return (y1, h1), y1
+            return (y1, h1), (y1, st)
 
-        (_, _), ys = jax.lax.scan(interval, (y_start, h_init), (ts[:-1], ts[1:]))
-        return jnp.concatenate([y_start[None], ys], axis=0)
+        (_, _), (ys, sts) = jax.lax.scan(
+            interval, (y_start, h_init), (ts[:-1], ts[1:])
+        )
+        stats = {
+            "saturated": jnp.any(sts["saturated"]),
+            "max_interval_steps": jnp.max(sts["n_steps"]),
+            "total_failed": jnp.sum(sts["n_failed"]),
+        }
+        return jnp.concatenate([y_start[None], ys], axis=0), stats
 
     if batch_mode == "per_member" and y0.ndim > 1:
         # Each member gets its own controller AND (for batched params) its
@@ -126,9 +143,18 @@ def evolve_ham(
             vrun = jax.vmap(vrun, in_axes=(sys_axes, 0))
         for _ in range(y0.ndim - 1 - pb):
             vrun = jax.vmap(vrun, in_axes=(None, 0))
-        ys = jnp.moveaxis(vrun(system, y0), -2, 0)  # time axis to the front
+        ys, stats = vrun(system, y0)
+        ys = jnp.moveaxis(ys, -2, 0)  # time axis to the front
     else:
-        ys = run(system, y0)
+        ys, stats = run(system, y0)
+    if return_stats:
+        # aggregate over any batch axes the vmapped runs added
+        stats = {
+            "saturated": jnp.any(stats["saturated"]),
+            "max_interval_steps": jnp.max(stats["max_interval_steps"]),
+            "total_failed": jnp.sum(stats["total_failed"]),
+        }
+        return Phase.unflatten(ys), stats
     return Phase.unflatten(ys)
 
 

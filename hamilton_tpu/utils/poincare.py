@@ -44,6 +44,16 @@ def poincare_section(
     axes ``(max_crossings, ..., n)`` (linearly interpolated states at the
     crossings; unused slots hold zeros) and ``valid`` is a boolean mask of
     shape ``(max_crossings, ...)``.
+
+    **Truncation contract:** ``max_crossings`` is a static cap (jit needs a
+    static output shape), and crossings beyond it are SILENTLY DROPPED —
+    the first ``max_crossings`` upward crossings are kept, later ones
+    discarded per member.  A dense section is therefore truncated, not
+    subsampled.  Detect it: a member whose mask is all-True
+    (``valid.all(axis=0)``) may have overflowed — re-run with a larger cap
+    (or shorter trajectory window) until its last slots stay False.  Size
+    the cap generously: unused slots cost one zeroed state each, far
+    cheaper than a re-run.
     """
     g = section(traj)  # (time, ...)
     before, after = g[:-1], g[1:]

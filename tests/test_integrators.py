@@ -470,3 +470,44 @@ class TestEvolveOptions:
         ref = evolve_ham(DP.system, DP.init_phase, jnp.array([0.0, 0.45, 0.9]))
         np.testing.assert_allclose(np.asarray(out.q[-1]), np.asarray(ref.q[-1]),
                                    atol=1e-7)
+
+
+class TestControllerSaturation:
+    """The max_steps progress guard is now observable (VERDICT r3 item 6
+    housekeeping): gsl_evolve_to/evolve_ham expose saturation instead of
+    silently returning a state short of the requested time."""
+
+    def test_gsl_evolve_to_stats(self):
+        from hamilton_tpu.integrators.adaptive import gsl_evolve_to
+
+        rhs = lambda y: -y  # noqa: E731
+        y0 = jnp.ones(2)
+        y1, h1, st = gsl_evolve_to(rhs, y0, 0.0, 1.0, 0.01,
+                                   return_stats=True)
+        assert not bool(st["saturated"])
+        assert int(st["n_steps"]) > 0
+        np.testing.assert_allclose(np.asarray(y1), np.exp(-1.0), rtol=1e-7)
+        # a max_steps too small to reach t1 must flag, not lie
+        y2, _, st2 = gsl_evolve_to(rhs, y0, 0.0, 1.0, 1e-6, max_steps=3,
+                                   return_stats=True)
+        assert bool(st2["saturated"])
+        assert int(st2["n_steps"]) == 3
+
+    def test_evolve_ham_stats(self):
+        from hamilton_tpu.models import pendulum
+
+        ex = pendulum()
+        ts = jnp.linspace(0.0, 1.0, 5)
+        out = evolve_ham(ex.system, ex.init_phase, ts, return_stats=True)
+        traj, st = out
+        assert traj.q.shape[0] == 5
+        assert not bool(st["saturated"])
+        assert int(st["max_interval_steps"]) >= 1
+        # batched per-member mode aggregates over members too
+        ph_b = Phase(jnp.stack([ex.init_phase.q, ex.init_phase.q + 0.1]),
+                     jnp.stack([ex.init_phase.p, ex.init_phase.p]))
+        traj_b, st_b = evolve_ham(ex.system, ph_b, ts,
+                                  batch_mode="per_member",
+                                  return_stats=True)
+        assert traj_b.q.shape[:2] == (5, 2)
+        assert st_b["saturated"].shape == ()

@@ -408,6 +408,79 @@ def phase_sweep(args):
     }
 
 
+def phase_families(args):
+    """Non-chain fused-family datapoints (VERDICT r3 item 1 'done'
+    criterion): spherical pendulum and two-body Kepler through their
+    declarative ``FusedForms`` (models/spherical.py, models/two_body.py) at
+    the ensemble batch, vs the generic tile path on the same config — the
+    fused:tile throughput ratio is the point (the ~10× cliff the fused
+    family removes for models outside the chain).
+
+    The tile-path reference runs a short horizon (its per-step cost is what
+    is being measured; drift belongs to the fused full-horizon run).
+    """
+    from hamilton_tpu.ensemble import evolve_ensemble_final
+    from hamilton_tpu.models import spherical_pendulum, two_body
+    from hamilton_tpu.state import Phase
+
+    out = {}
+    steps_f = min(args.steps, 20_000)
+    steps_t = 2_000 if args.steps >= 20_000 else max(args.steps // 5, 100)
+    rng = np.random.default_rng(11)
+
+    def build_phase(ex, scale):
+        # the example's own physical initial phase (two-body needs its
+        # angular momentum — a zero-p ensemble falls into the 1/r pole),
+        # jittered in q to decorrelate members
+        ph0 = ex.init_phase
+        n = ph0.q.shape[-1]
+        q = np.asarray(ph0.q, np.float32) + scale * rng.standard_normal(
+            (args.batch, n)
+        ).astype(np.float32)
+        p = np.broadcast_to(np.asarray(ph0.p, np.float32), (args.batch, n))
+        return Phase(jnp.asarray(q, jnp.float32), jnp.asarray(p.copy()))
+
+    def timed_run(system, ph, method, iters, n_steps, spc):
+        with jax.enable_x64(True):
+            final, drift = evolve_ensemble_final(
+                system, ph, 1e-3, n_steps, method=method, iters=iters,
+                compensated=True, drift_every=n_steps,
+                drift_dtype="df32" if method == "leapfrog_fused" else None,
+                steps_per_call=spc,
+            )
+            float(final.q[0, 0])  # host sync (relay: block_until_ready lies)
+            ph2 = Phase(ph.q + 1e-6, ph.p)  # distinct value: no memoized hit
+            t0 = time.perf_counter()
+            final, drift = evolve_ensemble_final(
+                system, ph2, 1e-3, n_steps, method=method, iters=iters,
+                compensated=True, drift_every=n_steps,
+                drift_dtype="df32" if method == "leapfrog_fused" else None,
+                steps_per_call=spc,
+            )
+            float(final.q[0, 0])
+            el = time.perf_counter() - t0
+        rate = ph.q.shape[0] * n_steps / el
+        return rate, (float(jnp.max(drift)) if drift is not None else None)
+
+    for name, ex, scale in (
+        ("spherical", spherical_pendulum(), 0.05),
+        ("twobody", two_body(), 0.02),
+    ):
+        sys32 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), ex.system
+        )
+        ph = build_phase(ex, scale)
+        fused, drift = timed_run(sys32, ph, "leapfrog_fused", args.iters,
+                                 steps_f, args.steps_per_call)
+        tile, _ = timed_run(sys32, ph, "leapfrog", args.iters, steps_t, 1)
+        out[f"{name}_fused_member_steps_per_sec"] = fused
+        out[f"{name}_tile_member_steps_per_sec"] = tile
+        out[f"{name}_fused_vs_tile"] = round(fused / tile, 1)
+        if drift is not None:
+            out[f"{name}_fused_max_drift"] = drift
+    return out
+
+
 def phase_adaptive(args):
     """Adaptive path on the accelerator (VERDICT r2 item 7): single and
     8-member ``evolve_ham`` (shared + per-member controllers) on-device in
@@ -432,10 +505,16 @@ def phase_adaptive(args):
                    if device is not None else contextlib.nullcontext())
             with ctx:
                 res = fn(*a, **kw)
-                jax.block_until_ready(res.q)  # includes compile
+                float(res.q.reshape(-1)[0])  # host transfer: the only real
+                # sync through the relay (block_until_ready returns early)
                 t0 = time.perf_counter()
-                res = fn(*a, **kw)
-                jax.block_until_ready(res.q)
+                # perturb the IC so the re-dispatch can't be served memoized
+                a2 = tuple(
+                    _Phase(x.q + 1e-9, x.p) if isinstance(x, _Phase) else x
+                    for x in a
+                )
+                res = fn(*a2, **kw)
+                float(res.q.reshape(-1)[0])
                 out[tag] = round(time.perf_counter() - t0, 4)
             return res
 
@@ -448,6 +527,26 @@ def phase_adaptive(args):
               batch_mode="shared")
         timed("adaptive_tpu_8pm_s", None, evolve_ham, system, ph8, ts,
               batch_mode="per_member")
+        # Ensemble SCALE (VERDICT r3 item 3): the lock-step shared controller
+        # amortizes the batch — B=1024 f64 chain-20 over t≤1 measured 24.2 s
+        # on the v5e (42 member-trajectories/s ≈ 110× the host's 0.38/s
+        # single-trajectory rate; docs/design.md round-4).  The bench carries
+        # a smaller B so the phase stays minutes, scaled by the same law.
+        if jax.devices()[0].platform != "cpu":
+            b_scale = max(256, min(args.batch // 16, 1024))
+            system_s, ph_s = _build(b_scale, jnp.float64)
+            timed("adaptive_tpu_batched_s", None, evolve_ham, system_s, ph_s,
+                  jnp.asarray([0.0, 1.0], jnp.float64), batch_mode="shared")
+            out["adaptive_tpu_batched_b"] = b_scale
+            out["adaptive_batched_traj_per_sec"] = round(
+                b_scale / out["adaptive_tpu_batched_s"], 2
+            )
+            if out.get("adaptive_cpu_single_s"):
+                # batched wins when traj/s exceeds the host's 1/single_s
+                out["adaptive_batched_vs_host_serial"] = round(
+                    out["adaptive_batched_traj_per_sec"]
+                    * out["adaptive_cpu_single_s"], 1
+                )
         out["adaptive_platform"] = jax.devices()[0].platform
     return out
 
@@ -707,6 +806,7 @@ def main(argv=None):
     ap.add_argument("--sweep-steps", type=int, default=100_000)
     ap.add_argument("--skip-margin", action="store_true")
     ap.add_argument("--skip-roofline", action="store_true")
+    ap.add_argument("--skip-families", action="store_true")
     ap.add_argument("--skip-sweep", action="store_true")
     ap.add_argument("--skip-adaptive", action="store_true")
     ap.add_argument("--quick", action="store_true",
@@ -778,6 +878,11 @@ def main(argv=None):
                 )
         except Exception as e:  # pragma: no cover
             extras["sweep_error"] = f"{type(e).__name__}: {e}"[:200]
+    if not args.skip_families:
+        try:
+            extras.update(phase_families(args))
+        except Exception as e:  # pragma: no cover
+            extras["families_error"] = f"{type(e).__name__}: {e}"[:200]
     # order matters: a failed TPU-f64 attempt can leave the device faulted
     # for the rest of the process, so all f32 accelerator phases run before
     # the f64 attempts (adaptive is f64-on-device but small/short; it runs

@@ -103,9 +103,11 @@ YOSHIDA4_COMPOSITION = (
 # Suzuki's 5-stage fractal composition (Suzuki 1990), also order 4 over a
 # symmetric order-2 base.  Two more substeps than the triple jump, but every
 # |w| ≤ 0.42 where the triple jump's middle substep runs |w0| ≈ 1.70 — the
-# per-substep fixed-point contraction (∝ |w·dt|) is ~4× milder, so the cheap
-# (2, 1) iteration schedule converges where the triple jump needs (3, 2)
-# (measured: docs/design.md round-4 "a cheap fused order 4").
+# per-substep fixed-point contraction (∝ |w·dt|) is ~4× milder, so even the
+# predictor-factor (2, 0) schedule converges where the triple jump needs
+# (3, 2): measured at full horizon 48.9e6 member-steps/s @ 3.17e-7 drift,
+# the order-4 Pareto point ((1, 1) over-drifts at 1.91e-6 — docs/design.md
+# round-4 "a cheap fused order 4").
 _S5 = 1.0 / (4.0 - 4.0 ** (1.0 / 3.0))
 SUZUKI4_COMPOSITION = (_S5, _S5, 1.0 - 4.0 * _S5, _S5, _S5)
 

@@ -532,12 +532,15 @@ class TestFusedFamilies:
         "two_body": (lambda: None, [2.0, 0.1], 0.05),
         "spring": (lambda: None, [0.2, 0.1, 0.3], 0.05),
         "room": (lambda: None, [-1.0, 0.25], 0.05),
+        "ellipse": (lambda: None, [2.0], 0.05),
+        "bezier": (lambda: None, [0.5], 0.1),
+        "bezier_lin": (lambda: None, [0.5], 0.1),
     }
 
     @staticmethod
     def _example(name):
         from hamilton_tpu.models import (
-            room, spherical_pendulum, spring, two_body,
+            bezier, ellipse, room, spherical_pendulum, spring, two_body,
         )
 
         return {
@@ -545,6 +548,10 @@ class TestFusedFamilies:
             "two_body": two_body,
             "spring": spring,
             "room": room,
+            "ellipse": ellipse,
+            "bezier": bezier,
+            # degree-1 curve: the deg<2 branch (B'' ≡ 0) of the family
+            "bezier_lin": lambda: bezier([(-1.0, -1.0), (1.0, 1.0)]),
         }[name]()
 
     def _phase(self, name, seed=7):

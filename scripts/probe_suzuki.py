@@ -18,6 +18,7 @@ ap.add_argument("--steps", type=int, default=100_000)
 ap.add_argument("--chunk-steps", type=int, default=10_000)
 ap.add_argument("--batch", type=int, default=16384)
 ap.add_argument("--methods", default="suzuki4_fused:2:1")
+ap.add_argument("--dt", type=float, default=1e-3)
 args = ap.parse_args()
 
 with jax.enable_x64(True):
@@ -35,7 +36,7 @@ with jax.enable_x64(True):
             t0[0] = now
 
         final, drift = evolve_ensemble_chunked(
-            system, ph, 1e-3, args.steps, chunk_steps=args.chunk_steps,
+            system, ph, args.dt, args.steps, chunk_steps=args.chunk_steps,
             method=name, iters=(int(ip), int(iq)), compensated=True,
             drift_every=1000, drift_dtype="df32", callback=cb,
             steps_per_call=50,
@@ -45,5 +46,5 @@ with jax.enable_x64(True):
         rate = args.batch * args.chunk_steps * len(steady) / sum(steady)
         print(f"{name}({ip},{iq}): {rate/1e6:.1f}e6 member-steps/s  "
               f"first={wall[0]:.0f}s steady={sum(steady):.1f}s  "
-              f"max_drift={float(jnp.max(drift)):.3e}  steps={args.steps}",
+              f"max_drift={float(jnp.max(drift)):.3e}  steps={args.steps} dt={args.dt}",
               flush=True)

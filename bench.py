@@ -13,28 +13,38 @@ Prints exactly ONE JSON line:
 
 Phases (each independently fault-tolerant; f32 accelerator phases run
 before the f64 attempts because a faulted f64 dispatch poisons the device):
-  1. TPU f32 chain-20 ensemble, FULL 1e5-step horizon: the fused
-     whole-step Pallas kernel (``leapfrog_fused``, warm-started exact
-     fixed points, Kahan-compensated, 50-step in-VMEM factor-carry
-     blocks; library-leapfrog fallback), executed as chunked dispatches —
-     the headline throughput AND the on-TPU max|ΔH/H₀| (measured in f64
-     every 1000 steps during the same run).
-  2. Margin datapoint: ``yoshida4_fused`` (order 4) at the same shape over
-     the FULL horizon — throughput + on-device drift, so the headline does
-     not ride a thin margin alone.
-  3. Parameter-sweep throughput: per-member masses/gravity through the
+  1. TPU f32 chain-20 ensemble over the FULL t=100 horizon (2e5 steps at
+     dt=5e-4 — same simulated span as the round-3 1e-3×1e5 config, better
+     drift AND throughput, docs/design.md round-4): the fused whole-step
+     Pallas kernel (``leapfrog_fused`` (2,0) predictor-factor schedule,
+     Kahan-compensated, 50-step in-VMEM factor-carry blocks;
+     library-leapfrog fallback), executed as chunked dispatches — the
+     headline throughput AND the on-TPU max|ΔH/H₀| (sampled every 1000
+     steps during the same run in double-f32 over the closed forms,
+     cross-validated vs f64).
+  2. Roofline: exact jaxpr FLOP counts + VPU/HBM speed-of-light probes →
+     ``fused_vpu_util`` / ``fused_hbm_util``.
+  3. Margin datapoints: ``suzuki4_fused`` (2,0) — the measured order-4
+     Pareto point — and the round-1..3 continuity anchor
+     (``leapfrog_fused`` (2,1) at dt=1e-3 × 1e5 steps), both full-horizon
+     with on-device drift.
+  4. Parameter-sweep throughput: per-member masses/gravity through the
      fused kernel's runtime coefficient tiles (target: within ~2× of the
      shared-parameter headline), over the FULL horizon with its own drift
      datapoint (the runtime-operand mode is a distinct kernel variant).
-  4. Double-pendulum north-star config: 16k-member f32 throughput (fused
+  5. Fused-family datapoints: spherical + two-body through their
+     ``FusedForms`` vs their generic tile path (the fused:tile ratio).
+  6. Double-pendulum north-star config: 16k-member f32 throughput (fused
      kernel, library fallback) plus the FULL 1e5-step f64 gauss4 drift
      (cheap at n=2) on the host.
-  5. Adaptive on-device: single + 8-member ``evolve_ham`` (shared and
-     per-member controllers) in f64, timed vs the host CPU with parity.
-  6. Chain-20 f64 gauss4 drift over the FULL horizon (host fallback, B=4
+  7. Adaptive on-device: single + 8-member ``evolve_ham`` (shared and
+     per-member controllers) in f64, timed vs the host CPU with parity —
+     plus the ensemble-scale shared-controller datapoint (batched adaptive
+     WINS at scale: B=16384 measured 450× host-serial in f64).
+  8. Chain-20 f64 gauss4 drift over the FULL horizon (host fallback, B=4
      chunked ≈ 200 s; the accelerator is attempted first under a budget
      probe around its emulated f64).
-  7. Single-trajectory CPU baselines: jax-CPU and the native C++ engine;
+  9. Single-trajectory CPU baselines: jax-CPU and the native C++ engine;
      vs_baseline uses the stronger of the two.
 
 Note: first-compile latency through this environment's remote-compile
@@ -205,7 +215,7 @@ def phase_throughput(args):
         with jax.enable_x64(True):
             system, ph = _build(args.batch, jnp.float32)
             return _timed_chunked_run(
-                args, system, ph, method=method, iters=iters, dt=1e-3,
+                args, system, ph, method=method, iters=iters, dt=args.dt,
                 n_steps=n_steps, chunk_steps=chunk_steps, steps_per_call=spc,
             )
 
@@ -350,17 +360,18 @@ def phase_margin(args):
     except Exception as e:  # pragma: no cover — phase stays fault-tolerant
         out["order4_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
-        dthalf = run("leapfrog_fused", args.iters, 5e-4, 2 * n_steps,
-                     chunk_steps)
+        # round-1..3 continuity anchor: the exact-placement (2,1) schedule
+        # at dt=1e-3 over 1e5 steps (the previous headline config)
+        anchor = run("leapfrog_fused", (2, 1), 1e-3, n_steps, chunk_steps)
         out.update({
-            "dthalf_member_steps_per_sec": dthalf["member_steps_per_sec"],
-            "dthalf_tpu_max_energy_drift_f32comp": dthalf["max_drift"],
-            "dthalf_drift_steps": dthalf["steps"],
-            "dthalf_dt": 5e-4,
-            "dthalf_first_chunk_s": dthalf["first_chunk_s"],
+            "anchor21_member_steps_per_sec": anchor["member_steps_per_sec"],
+            "anchor21_tpu_max_energy_drift_f32comp": anchor["max_drift"],
+            "anchor21_drift_steps": anchor["steps"],
+            "anchor21_dt": 1e-3,
+            "anchor21_first_chunk_s": anchor["first_chunk_s"],
         })
     except Exception as e:  # pragma: no cover — phase stays fault-tolerant
-        out["dthalf_error"] = f"{type(e).__name__}: {e}"[:200]
+        out["anchor21_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
@@ -397,7 +408,7 @@ def phase_sweep(args):
         })
         r = _timed_chunked_run(
             args, sysb, ph, method="leapfrog_fused", iters=args.iters,
-            dt=1e-3, n_steps=n_steps, chunk_steps=chunk_steps,
+            dt=args.dt, n_steps=n_steps, chunk_steps=chunk_steps,
             steps_per_call=args.steps_per_call,
         )
     return {
@@ -767,7 +778,7 @@ def phase_cpu_baseline(args):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16384)
-    ap.add_argument("--steps", type=int, default=100_000)
+    ap.add_argument("--steps", type=int, default=200_000)
     ap.add_argument("--chunk-steps", type=int, default=10_000)
     ap.add_argument("--warm-steps", type=int, default=50)
     # density of the cond-guarded f64 H evaluations inside the hot loop;
@@ -793,7 +804,7 @@ def main(argv=None):
     # 1.3e-6 @1e5 (over the bound; fine at 2e4) for only ~15% more speed.
     # The library fallback uses its own converged point "2,0" (no carry
     # there — docs/design.md "Round-2 hot-loop reductions").
-    ap.add_argument("--iters", type=iters_arg, default=(2, 1))
+    ap.add_argument("--iters", type=iters_arg, default=(2, 0))
     # 50 steps per fused-kernel dispatch: the in-kernel loop carries the
     # end-of-step factor/trig in VMEM, skipping the q0 factorization on all
     # but the first step of each block (0.114 -> 0.088 ms/step; drift
@@ -803,7 +814,12 @@ def main(argv=None):
     # full-horizon yoshida4_fused margin datapoint + runtime-params sweep
     # throughput (both chunked, f64-sampled drift like the headline)
     ap.add_argument("--margin-steps", type=int, default=100_000)
-    ap.add_argument("--sweep-steps", type=int, default=100_000)
+    ap.add_argument("--sweep-steps", type=int, default=200_000)
+    # headline dt: 5e-4 × 2e5 steps = the same t=100 horizon as the
+    # round-3 1e-3×1e5 config, measured 214.6e6 member-steps/s @ 3.0e-7
+    # drift with the (2,0) predictor-factor schedule (docs/design.md
+    # round-4; at dt=1e-3 that schedule over-drifts, 1.31e-6)
+    ap.add_argument("--dt", type=float, default=5e-4)
     ap.add_argument("--skip-margin", action="store_true")
     ap.add_argument("--skip-roofline", action="store_true")
     ap.add_argument("--skip-families", action="store_true")

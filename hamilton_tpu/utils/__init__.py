@@ -3,6 +3,7 @@ diagnostics (NaN/energy sentinels), and profiling."""
 
 from hamilton_tpu.utils.observables import (
     LyapunovPairs,
+    PoincareSections,
     RunningExtrema,
     energies,
     energy_drift,
@@ -29,4 +30,5 @@ __all__ = [
     "coordinate_section",
     "LyapunovPairs",
     "RunningExtrema",
+    "PoincareSections",
 ]

@@ -224,3 +224,90 @@ class LyapunovPairs:
         from jax.sharding import PartitionSpec as P
 
         return {"sum_log": P(axis), "n_renorms": P()}
+
+
+class PoincareSections:
+    """Streaming Poincaré-section accumulator: upward crossings of
+    ``section(phase) -> (B,)`` collected INSIDE the evolution loop into
+    ``max_crossings`` static slots per member — full horizons at
+    O(max_crossings · B) memory instead of emitting O(T · B) trajectories
+    for the post-hoc :func:`hamilton_tpu.utils.poincare.poincare_section`.
+
+    Run with ``obs_every = stepper.substeps`` (i.e. every dt-step on the
+    library path): crossings are detected between CONSECUTIVE OBSERVED
+    states, so coarser cadences can miss sign round-trips inside a window.
+    Crossing states are linearly interpolated between the bracketing
+    observations (the same interpolation the post-hoc extractor uses —
+    results are identical on the same stride, tested).
+
+    Truncation is explicit, not silent: crossings past ``max_crossings``
+    land in the per-member ``overflow`` counter, so a truncated section is
+    detectable without the all-slots-True heuristic.
+    """
+
+    transforms_state = False
+
+    def __init__(self, section, max_crossings: int):
+        self.section = section
+        self.max_crossings = int(max_crossings)
+
+    def init(self, phase0):
+        g = self.section(phase0)
+        b = g.shape
+        n = phase0.q.shape[-1]
+        m = self.max_crossings
+        return {
+            "prev_g": g,
+            "prev_q": phase0.q,
+            "prev_p": phase0.p,
+            "count": jnp.zeros(b, jnp.int32),
+            "overflow": jnp.zeros(b, jnp.int32),
+            "q": jnp.zeros((m,) + b + (n,), phase0.q.dtype),
+            "p": jnp.zeros((m,) + b + (n,), phase0.p.dtype),
+        }
+
+    def update(self, state, phase, step):
+        g = self.section(phase)
+        prev_g = state["prev_g"]
+        crossing = jnp.logical_and(prev_g < 0, g >= 0)
+        tiny = jnp.asarray(
+            1e-300 if g.dtype == jnp.float64 else 1e-37, g.dtype
+        )
+        denom = jnp.where(crossing, prev_g - g, 1.0)
+        frac = jnp.where(
+            crossing, prev_g / jnp.where(jnp.abs(denom) < tiny, tiny, denom),
+            0.0,
+        )[..., None]
+        qx = state["prev_q"] + frac * (phase.q - state["prev_q"])
+        px = state["prev_p"] + frac * (phase.p - state["prev_p"])
+        m = self.max_crossings
+        count = state["count"]
+        slot = jnp.minimum(count, m - 1)
+        idx = jnp.arange(count.shape[0])
+        store = jnp.logical_and(crossing, count < m)
+        cur_q = state["q"][slot, idx]
+        cur_p = state["p"][slot, idx]
+        new_q = state["q"].at[slot, idx].set(
+            jnp.where(store[..., None], qx, cur_q)
+        )
+        new_p = state["p"].at[slot, idx].set(
+            jnp.where(store[..., None], px, cur_p)
+        )
+        return {
+            "prev_g": g,
+            "prev_q": phase.q,
+            "prev_p": phase.p,
+            "count": count + store.astype(jnp.int32),
+            "overflow": state["overflow"]
+            + jnp.logical_and(crossing, count >= m).astype(jnp.int32),
+            "q": new_q,
+            "p": new_p,
+        }
+
+    @staticmethod
+    def points(state):
+        """``(points, valid)`` in the post-hoc extractor's layout:
+        ``Phase[(max_crossings, B, n)]`` + boolean mask."""
+        m = state["q"].shape[0]
+        valid = jnp.arange(m)[:, None] < state["count"][None, :]
+        return Phase(state["q"], state["p"]), valid

@@ -375,3 +375,55 @@ class TestRoofline:
         j = jax.make_jaxpr(f)(jnp.ones((8,), jnp.float32))
         c = count_ops(j)
         assert c["flops"] == 7 * 2 * 8  # 2 ops × 8 elements × 7 iterations
+
+
+class TestPoincareStreaming:
+    """In-loop Poincaré accumulation (utils.PoincareSections) ≡ the post-hoc
+    extractor on the emitted trajectory of the same run, with explicit
+    overflow accounting instead of silent truncation."""
+
+    def _run(self, max_crossings, n_steps=8000):
+        from hamilton_tpu import evolve_ham_fixed
+        from hamilton_tpu.ensemble import evolve_ensemble_final
+        from hamilton_tpu.models import pendulum
+        from hamilton_tpu.utils import PoincareSections, coordinate_section
+
+        ex = pendulum()
+        rng = np.random.default_rng(6)
+        b = 8
+        ph = Phase(jnp.asarray(1.0 + 0.1 * rng.standard_normal((b, 1))),
+                   jnp.asarray(0.1 * rng.standard_normal((b, 1))))
+        section = coordinate_section(0, 0.0, +1)
+        obs = PoincareSections(lambda p: section(p), max_crossings)
+        final, _, state = evolve_ensemble_final(
+            ex.system, ph, 5e-3, n_steps, method="gauss4", iters=6,
+            drift_every=n_steps, observable=obs, obs_every=1,
+        )
+        traj = evolve_ham_fixed(ex.system, ph, 5e-3, n_steps,
+                                method="gauss4", iters=6, emit_every=1)
+        return ex, obs, state, traj, section
+
+    def test_matches_post_hoc_extractor(self):
+        from hamilton_tpu.utils import PoincareSections, poincare_section
+
+        ex, obs, state, traj, section = self._run(max_crossings=8)
+        pts, valid = PoincareSections.points(state)
+        ref_pts, ref_valid = poincare_section(traj, section, max_crossings=8)
+        np.testing.assert_array_equal(np.asarray(valid),
+                                      np.asarray(ref_valid))
+        np.testing.assert_allclose(
+            np.asarray(pts.q)[np.asarray(valid)],
+            np.asarray(ref_pts.q)[np.asarray(ref_valid)],
+            rtol=0, atol=1e-12,
+        )
+        assert int(jnp.max(state["overflow"])) == 0
+        assert int(jnp.min(state["count"])) >= 2
+
+    def test_overflow_is_counted_not_silent(self):
+        from hamilton_tpu.utils import PoincareSections
+
+        ex, obs, state, traj, section = self._run(max_crossings=1)
+        # t = 40 covers ~6 pendulum periods: several upward crossings each
+        assert int(jnp.min(state["overflow"])) >= 1
+        pts, valid = PoincareSections.points(state)
+        assert bool(jnp.all(valid[0]))  # first slot kept

@@ -177,8 +177,12 @@ def evolve_ham_list(
     singleton = len(ts) == 1
     ts_eff = [0.0, ts[0]] if singleton else ts
     out = evolve_ham(system, phase0, jnp.asarray(ts_eff, dtype=phase0.q.dtype), **kwargs)
+    stats = None
+    if kwargs.get("return_stats"):
+        out, stats = out
     phases = [Phase(out.q[i], out.p[i]) for i in range(len(ts_eff))]
-    return phases[1:] if singleton else phases
+    phases = phases[1:] if singleton else phases
+    return (phases, stats) if stats is not None else phases
 
 
 def step_ham(
@@ -197,6 +201,9 @@ def step_ham(
     out = evolve_ham(
         system, phase0, jnp.asarray([0.0, dt], dtype=phase0.q.dtype), **kwargs
     )
+    if kwargs.get("return_stats"):
+        out, stats = out
+        return Phase(out.q[1], out.p[1]), stats
     return Phase(out.q[1], out.p[1])
 
 
@@ -317,7 +324,11 @@ def evolve_ham_fixed(
 
 def step_ham_c(system: System, config0: Config, dt: float, **kwargs) -> Config:
     """``fromPhase ∘ stepHam ∘ toPhase`` (reference ``stepHamC``, ``:505-515``)."""
-    return from_phase(system, step_ham(system, to_phase(system, config0), dt, **kwargs))
+    out = step_ham(system, to_phase(system, config0), dt, **kwargs)
+    if kwargs.get("return_stats"):
+        ph, stats = out
+        return from_phase(system, ph), stats
+    return from_phase(system, out)
 
 
 def evolve_ham_c(system: System, config0: Config, ts, **kwargs) -> Config:
@@ -326,6 +337,9 @@ def evolve_ham_c(system: System, config0: Config, ts, **kwargs) -> Config:
     Returns a batched :class:`Config` with leading time axis.
     """
     out = evolve_ham(system, to_phase(system, config0), ts, **kwargs)
+    if kwargs.get("return_stats"):
+        out, stats = out
+        return from_phase(system, out), stats
     return from_phase(system, out)  # batch-aware over the leading time axis
 
 
@@ -333,5 +347,8 @@ def evolve_ham_c_list(
     system: System, config0: Config, ts: Sequence[float], **kwargs
 ) -> List[Config]:
     """Configuration-space ``evolveHam'`` (reference ``evolveHamC'``, ``:470-480``)."""
-    phases = evolve_ham_list(system, to_phase(system, config0), ts, **kwargs)
-    return [from_phase(system, ph) for ph in phases]
+    out = evolve_ham_list(system, to_phase(system, config0), ts, **kwargs)
+    if kwargs.get("return_stats") and isinstance(out, tuple):
+        phases, stats = out
+        return [from_phase(system, ph) for ph in phases], stats
+    return [from_phase(system, ph) for ph in out]

@@ -511,3 +511,19 @@ class TestControllerSaturation:
                                   return_stats=True)
         assert traj_b.q.shape[:2] == (5, 2)
         assert st_b["saturated"].shape == ()
+
+    def test_wrappers_pass_stats_through(self):
+        from hamilton_tpu.integrators.evolve import (
+            evolve_ham_c, evolve_ham_list, step_ham,
+        )
+        from hamilton_tpu.models import pendulum
+
+        ex = pendulum()
+        ph, st = step_ham(ex.system, ex.init_phase, 0.1, return_stats=True)
+        assert ph.q.shape == (1,) and not bool(st["saturated"])
+        phases, st2 = evolve_ham_list(ex.system, ex.init_phase, [0.3],
+                                      return_stats=True)
+        assert len(phases) == 1 and not bool(st2["saturated"])
+        cfg, st3 = evolve_ham_c(ex.system, ex.init_config,
+                                jnp.asarray([0.0, 0.2]), return_stats=True)
+        assert cfg.q.shape[0] == 2 and not bool(st3["saturated"])

@@ -471,3 +471,49 @@ class TestExampleScripts:
         angles exceeds small angles)."""
         assert _load_example("chaos_scan").main(
             ["--cols", "24", "--rows", "8", "--steps", "2000"]) == 0
+
+    def test_elastic_pendulum_example(self):
+        """examples/elastic_pendulum.py: a USER-DEFINED system (not in the
+        model zoo) joins the fused-kernel family through the public
+        ``FusedForms`` interface.  rc 0 asserts (a) fused ≡ library parity
+        at 1e-11 in interpreter mode and (b) the swept-k ensemble's swing
+        amplification peaks at the autoparametric 2:1 resonance
+        k_res = 3mg/l₀."""
+        assert _load_example("elastic_pendulum").main(
+            ["--sweep", "24", "--steps", "6000"]) == 0
+
+    def test_user_fused_family_param_sweep_parity(self):
+        """Per-member (k, l₀) sweeps ride the USER-declared FusedForms as
+        runtime coefficient tiles — fused ≡ library with batched params,
+        the same contract the in-zoo families are held to
+        (tests/test_pallas_step.py)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from hamilton_tpu.integrators.fixed import make_stepper
+
+        b = 1024
+        rng = np.random.default_rng(7)
+        base = _load_example("elastic_pendulum").make_system()
+        sysb = base.replace_params({
+            "mass": jnp.asarray(0.5 + rng.random(b)),
+            "gravity": jnp.full((b,), 9.8),
+            "spring_k": jnp.asarray(15.0 + 30.0 * rng.random(b)),
+            "rest_length": jnp.asarray(0.8 + 0.4 * rng.random(b)),
+        })
+        ph = Phase(
+            jnp.asarray(np.stack([0.3 + 0.02 * rng.standard_normal(b),
+                                  1.0 + 0.1 * rng.standard_normal(b)],
+                                 axis=-1)),
+            jnp.asarray(0.05 * rng.standard_normal((b, 2))),
+        )
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(sysb, "leapfrog", iters=(3, 2))
+        fus = make_stepper(sysb, "leapfrog_fused", iters=(3, 2))
+        c_lib = lib.step(lib.init(ph), dt)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.step(fus.init(ph), dt)
+            a, b_ = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b_.q),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b_.p),
+                                   rtol=0, atol=1e-12)

@@ -279,3 +279,56 @@ def test_trajectory_driver_fused_blocks_on_device(tpu):
     assert t1.q.shape == (3, b, 4)
     np.testing.assert_array_equal(np.asarray(t1.q), np.asarray(t2.q))
     np.testing.assert_array_equal(np.asarray(t1.p), np.asarray(t2.p))
+
+
+def test_user_fused_family_on_device(tpu):
+    """A USER-DEFINED FusedForms family (examples/elastic_pendulum.py — not
+    in the model zoo) on the real chip, in runtime-operand mode with a
+    per-member spring-constant sweep, compared against the library leapfrog
+    evolving the same swept system on-device."""
+    import importlib.util
+    import os as _os
+
+    from hamilton_tpu.ensemble import evolve_ensemble_final
+    from hamilton_tpu.state import Phase
+
+    path = _os.path.join(_os.path.dirname(__file__), _os.pardir,
+                         "examples", "elastic_pendulum.py")
+    spec = importlib.util.spec_from_file_location("elastic_pendulum", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng_ = np.random.default_rng(11)
+    b = 1024
+    base = mod.make_system()
+    system = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32), base
+    )
+    sysb = system.replace_params({
+        "mass": jnp.full((b,), 1.0, jnp.float32),
+        "gravity": jnp.full((b,), 9.8, jnp.float32),
+        "spring_k": jnp.asarray(15.0 + 30.0 * rng_.random(b), jnp.float32),
+        "rest_length": jnp.full((b,), 1.0, jnp.float32),
+    })
+    ph = Phase(
+        jnp.asarray(np.stack([0.3 + 0.02 * rng_.standard_normal(b),
+                              1.1 + 0.05 * rng_.standard_normal(b)],
+                             axis=-1), jnp.float32),
+        jnp.asarray(0.05 * rng_.standard_normal((b, 2)), jnp.float32),
+    )
+    fused, drift_f = jax.jit(
+        lambda ph: evolve_ensemble_final(
+            sysb, ph, 1e-3, 100, method="leapfrog_fused", iters=(3, 1),
+            drift_every=50, steps_per_call=50,
+        )
+    )(ph)
+    lib, _ = jax.jit(
+        lambda ph: evolve_ensemble_final(
+            sysb, ph, 1e-3, 100, method="leapfrog", iters=(3, 1),
+            drift_every=50,
+        )
+    )(ph)
+    assert float(jnp.max(drift_f)) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(fused.q), np.asarray(lib.q), rtol=0, atol=5e-4
+    )

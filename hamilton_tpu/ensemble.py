@@ -314,10 +314,12 @@ def evolve_ensemble_chunked(
     **Exact resume:** a :class:`Phase` alone cannot bitwise-resume a run —
     the integrator carry also holds the Kahan compensation residuals, the
     warm-start estimates, and any cached factor.  ``carry_callback(ci,
-    carry, drift)`` receives the RAW carry after each chunk (a pytree of
-    arrays — checkpoint it with :mod:`hamilton_tpu.utils.checkpoint`), and
-    ``initial_carry``/``initial_drift`` restart from one: the continuation
-    is bitwise identical to the uninterrupted run (tested).  ``phase0`` is
+    carry, drift, obs)`` receives the RAW carry after each chunk (a pytree
+    of arrays — checkpoint it with :mod:`hamilton_tpu.utils.checkpoint`)
+    plus the streaming-observable state (``0`` when no ``observable`` is
+    set), and ``initial_carry``/``initial_drift``/``initial_obs`` restart
+    from one: the continuation — including the observable accumulator — is
+    bitwise identical to the uninterrupted run (tested).  ``phase0`` is
     still required for the drift reference H₀ (pass the ORIGINAL run's
     initial phase, not the resume point).
     """
@@ -377,7 +379,7 @@ def evolve_ensemble_chunked(
             callback(ci, stepper.extract(carry), drift)
         if carry_callback is not None:
             jax.block_until_ready(drift)
-            carry_callback(ci, carry, drift)
+            carry_callback(ci, carry, drift, obs)
     final = stepper.extract(carry)
     drift = drift if track_drift else None
     if observable is not None:

@@ -370,7 +370,7 @@ class TestChunked:
         saved = {}
         evolve_ensemble_chunked(
             DP.system, ph, 1e-3, 20, chunk_steps=10, **common,
-            carry_callback=lambda ci, carry, drift: saved.update(
+            carry_callback=lambda ci, carry, drift, obs: saved.update(
                 carry=carry, drift=drift
             ),
         )
@@ -381,6 +381,41 @@ class TestChunked:
         np.testing.assert_array_equal(np.asarray(f_full.q), np.asarray(f_res.q))
         np.testing.assert_array_equal(np.asarray(f_full.p), np.asarray(f_res.p))
         np.testing.assert_array_equal(np.asarray(d_full), np.asarray(d_res))
+
+    def test_chunked_resume_preserves_observable(self):
+        """The streaming-observable accumulator is checkpointable state:
+        ``carry_callback`` receives it (4th argument) and ``initial_obs``
+        restores it, so a mid-run resume reproduces the uninterrupted
+        run's observable bitwise — without this, a resumed run would
+        silently restart the reduction from the resume point."""
+        from hamilton_tpu.ensemble import evolve_ensemble_chunked
+        from hamilton_tpu.utils import RunningExtrema
+
+        ph = make_batch(4)
+        swing = RunningExtrema(lambda p: jnp.abs(p.q[..., 0]))
+        common = dict(method="leapfrog", iters=(2, 0), compensated=True,
+                      drift_every=5, observable=swing, obs_every=5)
+        f_full, d_full, o_full = evolve_ensemble_chunked(
+            DP.system, ph, 1e-3, 40, chunk_steps=10, **common
+        )
+        saved = {}
+        evolve_ensemble_chunked(
+            DP.system, ph, 1e-3, 20, chunk_steps=10, **common,
+            carry_callback=lambda ci, c, d, o: saved.update(
+                carry=c, drift=d, obs=o
+            ),
+        )
+        f_res, d_res, o_res = evolve_ensemble_chunked(
+            DP.system, ph, 1e-3, 20, chunk_steps=10, **common,
+            initial_carry=saved["carry"], initial_drift=saved["drift"],
+            initial_obs=saved["obs"],
+        )
+        np.testing.assert_array_equal(np.asarray(f_full.q), np.asarray(f_res.q))
+        np.testing.assert_array_equal(np.asarray(d_full), np.asarray(d_res))
+        for key in ("min", "max"):
+            np.testing.assert_array_equal(
+                np.asarray(o_full[key]), np.asarray(o_res[key])
+            )
 
 
 class TestStreamingObservables:

@@ -420,7 +420,7 @@ class TestFusedStep:
             saved = {}
             evolve_ensemble_chunked(
                 ex.system, ph4, 1e-3, 20, chunk_steps=20, **common,
-                carry_callback=lambda ci, c, d: saved.update(carry=c, drift=d),
+                carry_callback=lambda ci, c, d, o: saved.update(carry=c, drift=d),
             )
             f_res, d_res = evolve_ensemble_chunked(
                 ex.system, ph4, 1e-3, 20, chunk_steps=20, **common,

@@ -394,10 +394,12 @@ class TestFusedStep:
             st.init(Phase(ph4.q[:, :3], ph4.p[:, :3]))
         with pytest.raises(ValueError, match="iters_p"):
             make_stepper(ex.system, "leapfrog_fused", iters=(0, 1))
-        # systems without the closed forms refuse the method
+        # systems without the closed forms refuse the method: a SINGLE
+        # control point has B' ≡ 0 (K singular on every path), so k=1
+        # Bézier is the one zoo member that stays tile-path-only
         from hamilton_tpu.models import bezier
 
-        bz = bezier()
+        bz = bezier(points=[(0.0, 0.0)])
         assert bz.system.pallas_step is None
         assert bz.system.fused_forms is None
         with pytest.raises(ValueError, match="no fused-kernel closed forms"):

@@ -35,6 +35,7 @@ def chain(
     link_length: float = 1.0,
     gravity: float = 5.0,
     theta0: float = 0.5,
+    fused_solver: str = "dense",
 ) -> Example:
     """Chain of ``n_links`` pendulum links.
 
@@ -123,11 +124,25 @@ def chain(
     # (ops/pallas_step.py).  The family contract reads the LIVE system's
     # params, so concrete models bake immediates (the headline mode) while
     # traced or batched params become per-member coefficient tiles (sweeps).
-    from hamilton_tpu.ops.pallas_step import serial_chain_forms
+    # ``fused_solver`` picks the kernel's linear algebra: "dense" is the
+    # generic in-register O(n³) Cholesky; "semiseparable" the exact O(n)
+    # factorization exploiting K's semiseparable structure
+    # (serial_chain_forms_on) — same fixed points, ~5n factor carry.
+    from hamilton_tpu.ops.pallas_step import (
+        serial_chain_forms, serial_chain_forms_on,
+    )
+
+    if fused_solver not in ("dense", "semiseparable"):
+        raise ValueError(
+            f"fused_solver must be 'dense' or 'semiseparable', "
+            f"got {fused_solver!r}"
+        )
+    forms_factory = (serial_chain_forms if fused_solver == "dense"
+                     else serial_chain_forms_on)
 
     def fused_forms(system):
         p = system.params
-        return serial_chain_forms(p["masses"], p["lengths"], p["gravity"])
+        return forms_factory(p["masses"], p["lengths"], p["gravity"])
 
     system = mk_system_cart(
         None, coords, potential_cart, n=n_links, name=f"chain{n_links}",

@@ -227,12 +227,23 @@ class FamilyFns(NamedTuple):
         Optional: the scalar potential ``U(q)`` as a per-member value.  Not
         used by the kernel itself; powers the double-f32 energy-drift
         sampler (ops/df32.py) and the closed-form parity tests.
+    ``factor_solve``
+        Optional ``(factor, solve)`` pair replacing the generic in-register
+        dense Cholesky with a *structure-exploiting* factorization:
+        ``factor(aux, q) -> entries`` returns a flat tuple of per-member
+        values (the opaque factorization state that rides the kernel's
+        factor carry), and ``solve(entries, b) -> x`` applies K⁻¹ to the
+        length-n list ``b``.  Both must be written in the same value
+        arithmetic as the other callables.  When None the kernel runs the
+        O(n³) dense path on ``k_at``.  (Used by the O(n) semiseparable
+        serial-chain solver, :func:`serial_chain_forms_on`.)
     """
 
     aux: Callable[..., tuple]
     k_at: Callable[..., Callable[[int, int], Any]]
     dhdq: Callable[..., list]
     potential: Optional[Callable[..., Any]] = None
+    factor_solve: Optional[Tuple[Callable[..., tuple], Callable[..., list]]] = None
 
 
 @dataclass(frozen=True)
@@ -340,22 +351,30 @@ def fused_stepper(
     # reuse the unrolled tile-entry factor/solve bodies from pallas_solve
     from hamilton_tpu.ops.pallas_solve import _chol_entries, _solve_entries
 
-    def _pack_fac(low, inv_d, aux):
-        """Factor+aux as a flat pytree (loop-carryable tile tuples)."""
-        flat = tuple(low[(i, j)] for i in range(n) for j in range(i + 1))
-        return (flat, tuple(inv_d), tuple(aux))
-
-    def _unpack_fac(fac):
-        flat, inv_d, aux = fac
-        low, k = {}, 0
-        for i in range(n):
-            for j in range(i + 1):
-                low[(i, j)] = flat[k]
-                k += 1
-        return low, list(inv_d), tuple(aux)
-
     def make_increments(fam: FamilyFns):
         aux_fn, k_at, dhdq = fam.aux, fam.k_at, fam.dhdq
+        if fam.factor_solve is not None:
+            # structure-exploiting path (e.g. the O(n) semiseparable chain
+            # solver): the family owns the factorization representation
+            factor_fn, solve_fn = fam.factor_solve
+        else:
+            # generic dense path: unrolled in-register Cholesky over k_at
+            # entries, packed as a flat tuple (loop-carryable tile tuple)
+            def factor_fn(aux_v, q):
+                low, inv_d = _chol_entries(k_at(aux_v, q), n)
+                return tuple(
+                    low[(i, j)] for i in range(n) for j in range(i + 1)
+                ) + tuple(inv_d)
+
+            def solve_fn(ent, b):
+                low, k = {}, 0
+                for i in range(n):
+                    for j in range(i + 1):
+                        low[(i, j)] = ent[k]
+                        k += 1
+                return _solve_entries(
+                    low, list(ent[k:]), lambda i: b[i], n
+                )
 
         def increments(q0, p0, a_est, vdot_est, dt, half, fac0=None):
             """Lists of per-member values → (dq_inc, dp_inc, warm', fac1).
@@ -378,17 +397,17 @@ def fused_stepper(
             where the carry lives in VMEM (through HBM it would cost more
             than it saves)."""
             if fac0 is not None:
-                low0, inv_d0, aux0 = _unpack_fac(fac0)
+                ent0, aux0 = fac0
             else:
                 aux0 = aux_fn(q0)
-                low0, inv_d0 = _chol_entries(k_at(aux0, q0), n)
+                ent0 = factor_fn(aux0, q0)
             ph = [p0[i] - half * a_est[i] for i in range(n)]
             a_last = a_est
             for _ in range(iters_p):
-                w = _solve_entries(low0, inv_d0, lambda i: ph[i], n)
+                w = solve_fn(ent0, ph)
                 a_last = dhdq(aux0, q0, w)
                 ph = [p0[i] - half * a_last[i] for i in range(n)]
-            v0 = _solve_entries(low0, inv_d0, lambda i: ph[i], n)
+            v0 = solve_fn(ent0, ph)
             q1 = [q0[i] + dt * v0[i] + (dt * half) * vdot_est[i]
                   for i in range(n)]  # warm predictor
             v_last = v0
@@ -397,25 +416,25 @@ def fused_stepper(
                 # mode): one factor at the O(dt²) predictor serves the
                 # q-refinement and the end-of-step force
                 aux1 = aux_fn(q1)
-                low1, inv_d1 = _chol_entries(k_at(aux1, q1), n)
-                v_last = _solve_entries(low1, inv_d1, lambda i: ph[i], n)
+                ent1 = factor_fn(aux1, q1)
+                v_last = solve_fn(ent1, ph)
                 q1 = [q0[i] + half * (v0[i] + v_last[i]) for i in range(n)]
                 # force at the refined q1 with the predictor factor velocity
                 aux1r = aux_fn(q1)
                 b = dhdq(aux1r, q1, v_last)
-                fac1 = _pack_fac(low1, inv_d1, aux1r)
+                fac1 = (tuple(ent1), tuple(aux1r))
             else:
                 for _ in range(iters_q):
                     aux1 = aux_fn(q1)
-                    low1, inv_d1 = _chol_entries(k_at(aux1, q1), n)
-                    v_last = _solve_entries(low1, inv_d1, lambda i: ph[i], n)
+                    ent1 = factor_fn(aux1, q1)
+                    v_last = solve_fn(ent1, ph)
                     q1 = [q0[i] + half * (v0[i] + v_last[i]) for i in range(n)]
                 # exact end-of-step factor at the converged q1
                 aux1 = aux_fn(q1)
-                low1, inv_d1 = _chol_entries(k_at(aux1, q1), n)
-                w1 = _solve_entries(low1, inv_d1, lambda i: ph[i], n)
+                ent1 = factor_fn(aux1, q1)
+                w1 = solve_fn(ent1, ph)
                 b = dhdq(aux1, q1, w1)
-                fac1 = _pack_fac(low1, inv_d1, aux1)
+                fac1 = (tuple(ent1), tuple(aux1))
             dq_inc = [half * (v0[i] + v_last[i]) for i in range(n)]
             dp_inc = [-half * (a_last[i] + b[i]) for i in range(n)]
             inv_dt = 1.0 / dt
@@ -871,6 +890,208 @@ def serial_chain_forms(masses, lengths, gravity) -> FusedForms:
     return FusedForms(
         n=n, n_aux=2 * n, coef_lens=(n * n, n), consts=consts,
         arrays_fn=arrays_fn, make=make, name="serial_chain",
+    )
+
+
+def serial_chain_forms_on(masses, lengths, gravity) -> FusedForms:
+    """O(n) **semiseparable** variant of :func:`serial_chain_forms`.
+
+    The chain's mass matrix is order-2 semiseparable: with suffix mass sums
+    ``S_r = Σ_{k≥r} m_k`` and link vectors ``u_i = l_i·(cosθ_i, sinθ_i)``,
+
+        ``K_ij = S_max(i,j) · (u_i · u_j)``,
+
+    so in tip-to-base order ``K̃_ab = ũ_a · (S̃_b ũ_b)`` for ``a ≥ b`` —
+    generator-representable below the diagonal.  That admits an **exact
+    O(n) Cholesky** with a 2×2 running state ``P_j = Σ_{k<j} z_k z_kᵀ``:
+
+        ``y_j = (S̃_j I − P_j) ũ_j``,  ``d_j = √(ũ_j·y_j)``,
+        ``z_j = y_j / d_j``,          ``L_ij = ũ_i·z_j (i>j)``,
+
+    and O(n) triangular solves with 2-vector accumulators — the structural
+    reason Featherstone's articulated-body algorithm is O(n).  Per solve:
+    ~25n flops to factor and ~18n per triangular pair, vs the dense path's
+    O(n³)/O(n²); ``∂H/∂q`` likewise drops from 4n² to ~20n via
+    prefix/suffix accumulators.  The factor carry shrinks from
+    n(n+1)/2 + n to 5n per-member values, and the coefficient table from
+    n² + n to 3n per-link entries ``(l_i, S_i, g·l_i·S_i)`` — parameter
+    sweeps carry 3n-per-member tiles instead of n².
+
+    Fixed points, iteration schedules, and warm starts are IDENTICAL to
+    the dense family — only the linear-algebra representation changes —
+    so trajectories agree to f64 rounding (tested); f32 drift at the full
+    horizon is measured in bench extras before this variant is preferred.
+    """
+    if isinstance(masses, (list, tuple)):
+        n = len(masses)
+    else:
+        n = int(masses.shape[-1])
+    n_len = len(lengths) if isinstance(lengths, (list, tuple)) else int(
+        lengths.shape[-1]
+    )
+    if n_len != n:
+        raise ValueError(f"need {n} lengths, got {n_len}")
+
+    m_c = concrete_vec(masses, n)
+    l_c = concrete_vec(lengths, n)
+    g_c = concrete_scalar(gravity)
+    consts = None
+    if m_c is not None and l_c is not None and g_c is not None:
+        suff = _suffix_sums(m_c)  # S_r
+        consts = (
+            tuple(l_c) + tuple(suff)
+            + tuple(g_c * l_c[i] * suff[i] for i in range(n)),
+        )
+
+    def arrays_fn(dtype):
+        m_ = jnp.asarray(masses).astype(dtype)
+        l_ = jnp.asarray(lengths).astype(dtype)
+        g_ = jnp.asarray(gravity).astype(dtype)
+        suffix = jnp.cumsum(m_[..., ::-1], axis=-1)[..., ::-1]  # S_r
+        gu = g_[..., None] * l_ * suffix
+        return (jnp.concatenate([l_, suffix, gu], axis=-1),)
+
+    def make(at, fm):
+        l_at = lambda i: at[0](i)            # noqa: E731  l_i
+        s_at = lambda i: at[0](n + i)        # noqa: E731  S_i (suffix mass)
+        gu_at = lambda i: at[0](2 * n + i)   # noqa: E731  g·l_i·S_i
+
+        def aux(q):
+            return tuple(fm.sin(qi) for qi in q) + tuple(
+                fm.cos(qi) for qi in q
+            )
+
+        def k_at(aux_v, q):
+            # dense-entry fallback (df32 H sampler, parity tests); the
+            # kernel itself uses factor_solve below
+            s, c = aux_v[:n], aux_v[n:]
+
+            def at_(i, j):
+                if i == j:
+                    return fm.full(
+                        l_at(i) * l_at(i) * s_at(i), s[0]
+                    )
+                hi = max(i, j)
+                return (l_at(i) * l_at(j) * s_at(hi)) * (
+                    c[i] * c[j] + s[i] * s[j]
+                )
+
+            return at_
+
+        def factor(aux_v, q):
+            """Semiseparable Cholesky, tip-to-base; returns the flat
+            entries (z, 1/d, u per link in processing order)."""
+            s, c = aux_v[:n], aux_v[n:]
+            zxs, zys, ids, uxs, uys = [], [], [], [], []
+            pxx = pxy = pyy = None  # 2×2 running state, starts at zero
+            for a in range(n):
+                i = n - 1 - a  # original link index, tip → base
+                ux = l_at(i) * c[i]
+                uy = l_at(i) * s[i]
+                si = s_at(i)
+                if pxx is None:
+                    yx = si * ux
+                    yy = si * uy
+                else:
+                    yx = si * ux - (pxx * ux + pxy * uy)
+                    yy = si * uy - (pxy * ux + pyy * uy)
+                d = fm.sqrt(ux * yx + uy * yy)
+                inv_d = 1.0 / d
+                zx = yx * inv_d
+                zy = yy * inv_d
+                if pxx is None:
+                    pxx, pxy, pyy = zx * zx, zx * zy, zy * zy
+                else:
+                    pxx = pxx + zx * zx
+                    pxy = pxy + zx * zy
+                    pyy = pyy + zy * zy
+                zxs.append(zx)
+                zys.append(zy)
+                ids.append(inv_d)
+                uxs.append(ux)
+                uys.append(uy)
+            return tuple(zxs + zys + ids + uxs + uys)
+
+        def solve(ent, b):
+            """O(n) L Lᵀ x = b with 2-vector accumulators; ``b``/result in
+            original (base-to-tip) link order."""
+            zx, zy = ent[0:n], ent[n:2 * n]
+            idv = ent[2 * n:3 * n]
+            ux, uy = ent[3 * n:4 * n], ent[4 * n:5 * n]
+            y = [None] * n
+            sx = sy = None
+            for a in range(n):
+                bi = b[n - 1 - a]
+                t = bi if sx is None else bi - (ux[a] * sx + uy[a] * sy)
+                ya = t * idv[a]
+                y[a] = ya
+                if sx is None:
+                    sx, sy = zx[a] * ya, zy[a] * ya
+                else:
+                    sx = sx + zx[a] * ya
+                    sy = sy + zy[a] * ya
+            x = [None] * n
+            tx = ty = None
+            for a in reversed(range(n)):
+                t = y[a] if tx is None else y[a] - (zx[a] * tx + zy[a] * ty)
+                xa = t * idv[a]
+                x[n - 1 - a] = xa
+                if tx is None:
+                    tx, ty = ux[a] * xa, uy[a] * xa
+                else:
+                    tx = tx + ux[a] * xa
+                    ty = ty + uy[a] * xa
+            return x
+
+        def dhdq(aux_v, q, w):
+            """O(n): ∂H/∂θ_k = g·l_k·S_k·s_k + w_k·l_k·[s_k·A_k − c_k·B_k]
+            with A_k = S_k·Σ_{j<k} l_j c_j w_j + Σ_{j≥k} S_j l_j c_j w_j
+            (prefix/suffix accumulators; B_k the sin analog).  Same fixed
+            point as the dense 4n² dot-product form — summation order
+            differs at the rounding level only."""
+            s, c = aux_v[:n], aux_v[n:]
+            lw = [l_at(j) * w[j] for j in range(n)]
+            lcw = [lw[j] * c[j] for j in range(n)]
+            lsw = [lw[j] * s[j] for j in range(n)]
+            # suffix sums Q_k = Σ_{j≥k} S_j·(l_j x_j)
+            qc = [None] * n
+            qs = [None] * n
+            qc[n - 1] = s_at(n - 1) * lcw[n - 1]
+            qs[n - 1] = s_at(n - 1) * lsw[n - 1]
+            for k in range(n - 2, -1, -1):
+                qc[k] = qc[k + 1] + s_at(k) * lcw[k]
+                qs[k] = qs[k + 1] + s_at(k) * lsw[k]
+            out = []
+            pc = ps = None  # prefix sums Σ_{j<k} l_j x_j
+            for k in range(n):
+                if pc is None:
+                    ak = qc[k]
+                    bk = qs[k]
+                else:
+                    ak = s_at(k) * pc + qc[k]
+                    bk = s_at(k) * ps + qs[k]
+                out.append(
+                    gu_at(k) * s[k] + w[k] * l_at(k) * (s[k] * ak - c[k] * bk)
+                )
+                if pc is None:
+                    pc, ps = lcw[k], lsw[k]
+                else:
+                    pc = pc + lcw[k]
+                    ps = ps + lsw[k]
+            return out
+
+        def potential(aux_v, q):
+            c = aux_v[n:]
+            u = gu_at(0) * (1.0 - c[0])
+            for i in range(1, n):
+                u = u + gu_at(i) * (1.0 - c[i])
+            return u
+
+        return FamilyFns(aux, k_at, dhdq, potential, (factor, solve))
+
+    return FusedForms(
+        n=n, n_aux=2 * n, coef_lens=(3 * n,), consts=consts,
+        arrays_fn=arrays_fn, make=make, name="serial_chain_on",
     )
 
 

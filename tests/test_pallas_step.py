@@ -694,3 +694,191 @@ class TestSuzuki4:
         d2 = drift_at(2e-2, 16)
         # order-4 energy error: ratio ~16; allow slack for the small sample
         assert d1 / d2 > 8.0, (d1, d2)
+
+
+class TestSemiseparableChain:
+    """O(n) semiseparable chain solver (``serial_chain_forms_on`` +
+    ``FamilyFns.factor_solve``): the chain's mass matrix K_ij =
+    S_max(i,j)·(u_i·u_j) is order-2 semiseparable, so factor/solve/∂H∂q
+    all run in O(n).  Same fixed points as the dense family — parity to
+    f64 rounding."""
+
+    def _forms(self, n, seed=0, batched=None):
+        from hamilton_tpu.ops.pallas_step import (
+            serial_chain_forms, serial_chain_forms_on,
+        )
+
+        rng = np.random.default_rng(seed)
+        if batched is None:
+            m = list(0.3 + rng.random(n))
+            l = list(0.4 + rng.random(n))
+            g = 5.0
+        else:
+            m = jnp.asarray(0.3 + rng.random((batched, n)))
+            l = jnp.asarray(0.4 + rng.random((batched, n)))
+            g = jnp.asarray(4.0 + rng.random(batched))
+        return serial_chain_forms(m, l, g), serial_chain_forms_on(m, l, g)
+
+    def test_forms_math_matches_dense(self):
+        """Library-level (pure jnp columns, f64): K entries identical,
+        O(n) solve ≡ dense numpy solve, O(n) ∂H/∂q ≡ the dense 4n²
+        dot-product form, potential identical — at n=20."""
+        from hamilton_tpu.ops.pallas_step import FM_JNP
+
+        n, B = 20, 64
+        fd, fo = self._forms(n)
+        famd = fd.make(fd.const_accessors(), FM_JNP)
+        famo = fo.make(fo.const_accessors(), FM_JNP)
+        rng = np.random.default_rng(1)
+        q = [jnp.asarray(rng.uniform(-3, 3, B)) for _ in range(n)]
+        w = [jnp.asarray(rng.standard_normal(B)) for _ in range(n)]
+        b = [jnp.asarray(rng.standard_normal(B)) for _ in range(n)]
+        auxd, auxo = famd.aux(q), famo.aux(q)
+        kd, ko = famd.k_at(auxd, q), famo.k_at(auxo, q)
+        for i in range(n):
+            for j in range(i + 1):
+                np.testing.assert_allclose(
+                    np.asarray(kd(i, j)), np.asarray(ko(i, j)),
+                    rtol=0, atol=1e-14,
+                )
+        fac = famo.factor_solve[0](auxo, q)
+        x = famo.factor_solve[1](fac, b)
+        K = np.zeros((B, n, n))
+        for i in range(n):
+            for j in range(n):
+                K[:, i, j] = np.asarray(kd(max(i, j), min(i, j)))
+        bmat = np.stack([np.asarray(bi) for bi in b], -1)[..., None]
+        xref = np.linalg.solve(K, bmat)[..., 0]
+        xon = np.stack([np.asarray(xi) for xi in x], -1)
+        np.testing.assert_allclose(xon, xref, rtol=0, atol=1e-11)
+        dd, do = famd.dhdq(auxd, q, w), famo.dhdq(auxo, q, w)
+        scale = max(float(jnp.max(jnp.abs(dd[i]))) for i in range(n))
+        for i in range(n):
+            np.testing.assert_allclose(
+                np.asarray(dd[i]), np.asarray(do[i]),
+                rtol=0, atol=1e-12 * scale,
+            )
+        np.testing.assert_allclose(
+            np.asarray(famd.potential(auxd, q)),
+            np.asarray(famo.potential(auxo, q)), rtol=0, atol=1e-13,
+        )
+
+    def test_fused_matches_library(self):
+        """Kernel path (interpreter, f64): semiseparable fused ≡ library
+        leapfrog at 1e-12 over 2 steps."""
+        ex = chain(n_links=5, fused_solver="semiseparable")
+        rng = np.random.default_rng(2)
+        ph = Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((B, 5))),
+                   jnp.asarray(0.01 * rng.standard_normal((B, 5))))
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(ex.system, "leapfrog", iters=(3, 2))
+        fus = make_stepper(ex.system, "leapfrog_fused", iters=(3, 2))
+        c_lib = lib.init(ph)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.init(ph)
+            for _ in range(2):
+                c_lib = lib.step(c_lib, dt)
+                c_fus = fus.step(c_fus, dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-12)
+
+    def test_param_sweep_matches_library(self):
+        """Runtime-operand mode: per-member (m, l, g) sweeps ride the 3n
+        coefficient table (vs the dense family's n²+n)."""
+        rng = np.random.default_rng(5)
+        ph = Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((B, 4))),
+                   jnp.asarray(0.01 * rng.standard_normal((B, 4))))
+        pb = {
+            "masses": jnp.asarray(0.5 + rng.random((B, 4))),
+            "lengths": jnp.asarray(0.5 + rng.random((B, 4))),
+            "gravity": jnp.asarray(4.0 + rng.random(B)),
+        }
+        sysd = chain(n_links=4).system.replace_params(pb)
+        syso = chain(
+            n_links=4, fused_solver="semiseparable"
+        ).system.replace_params(pb)
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(sysd, "leapfrog", iters=(3, 2))
+        fus = make_stepper(syso, "leapfrog_fused", iters=(3, 2))
+        c_lib = lib.step(lib.init(ph), dt)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.init(ph)
+            assert len(c_fus) == 5  # 4 state tiles + ONE (3n) coef group
+            c_fus = fus.step(c_fus, dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-12)
+
+    def test_factor_carry_block_bitwise(self):
+        """steps_per_call blocks carry the (z, 1/d, u) factor entries in
+        VMEM — block ≡ step-by-step bitwise (same guarantee the dense
+        carry has)."""
+        ex = chain(n_links=4, fused_solver="semiseparable")
+        rng = np.random.default_rng(3)
+        ph = Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((B, 4))),
+                   jnp.asarray(0.01 * rng.standard_normal((B, 4))))
+        dt = jnp.float64(1e-3)
+        one = make_stepper(ex.system, "leapfrog_fused", iters=(3, 1),
+                           steps_per_call=1)
+        multi = make_stepper(ex.system, "leapfrog_fused", iters=(3, 1),
+                             steps_per_call=5)
+        with pltpu.force_tpu_interpret_mode():
+            c1, cm = one.init(ph), multi.init(ph)
+            for _ in range(5):
+                c1 = one.step(c1, dt)
+            cm = multi.step(cm, dt)
+            a, b = one.extract(c1), multi.extract(cm)
+        np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+        np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b.p))
+
+    def test_grad_matches_library(self):
+        """The exact-replay VJP differentiates through the O(n) recursion
+        (sqrt/div chains) — gradient ≡ library leapfrog gradient."""
+        exd = chain(n_links=4)
+        exo = chain(n_links=4, fused_solver="semiseparable")
+        rng = np.random.default_rng(4)
+        q0 = jnp.asarray(0.5 + 0.01 * rng.standard_normal((B, 4)))
+        p0 = jnp.asarray(0.01 * rng.standard_normal((B, 4)))
+        dt = jnp.float64(1e-3)
+
+        def loss(sys_, method, q):
+            st = make_stepper(sys_, method, iters=(3, 1))
+            c = st.init(Phase(q, p0))
+            for _ in range(2):
+                c = st.step(c, dt)
+            f = st.extract(c)
+            return jnp.sum(f.q ** 2 + f.p ** 2)
+
+        gl = jax.grad(lambda q: loss(exd.system, "leapfrog", q))(q0)
+        with pltpu.force_tpu_interpret_mode():
+            gf = jax.grad(
+                lambda q: loss(exo.system, "leapfrog_fused", q)
+            )(q0)
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(gf),
+                                   rtol=0, atol=1e-12)
+
+    def test_df32_h_measure_matches_dense_forms(self):
+        """The double-f32 drift sampler reads the semiseparable family's
+        k_at/potential — H agrees with the dense family's df32 measure to
+        pair roundoff on the same f32 state."""
+        from hamilton_tpu.ops.df32 import fused_measure_h
+
+        rng = np.random.default_rng(6)
+        q = jnp.asarray(
+            0.5 + 0.01 * rng.standard_normal((64, 4)), jnp.float32
+        )
+        p = jnp.asarray(
+            0.01 * rng.standard_normal((64, 4)), jnp.float32
+        )
+        ph = Phase(q, p)
+        hd = fused_measure_h(chain(n_links=4).system)(ph)
+        ho = fused_measure_h(
+            chain(n_links=4, fused_solver="semiseparable").system
+        )(ph)
+        np.testing.assert_allclose(np.asarray(hd), np.asarray(ho),
+                                   rtol=0, atol=1e-10)

@@ -166,6 +166,7 @@ def _timed_chunked_run(args, system, ph, *, method, iters, dt, n_steps,
         drift_every=min(args.drift_every, chunk_steps),
         drift_dtype=drift_dtype, callback=on_chunk,
         steps_per_call=steps_per_call,
+        group_unroll=getattr(args, "group_unroll", 1),
     )
     jax.block_until_ready(final.q)
     max_drift = float(jnp.max(drift))

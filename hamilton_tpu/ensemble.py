@@ -54,6 +54,7 @@ def evolve_ensemble(
     system_batched: bool = False,
     compensated: bool = False,
     steps_per_call: int = 1,
+    group_unroll: int = 1,
 ) -> Phase:
     """Evolve a batch of initial conditions with a fixed-step integrator.
 
@@ -81,6 +82,7 @@ def evolve_ensemble(
             evolve_ham_fixed, dt=dt, n_steps=n_steps, method=method,
             emit_every=emit_every, iters=iters, omega=omega,
             compensated=compensated, steps_per_call=steps_per_call,
+            group_unroll=group_unroll,
         )
         sys_axes = jax.tree_util.tree_map(lambda _: 0, system)
         out = jax.vmap(fn, in_axes=(sys_axes, 0))(system, phase0)
@@ -91,7 +93,7 @@ def evolve_ensemble(
     return evolve_ham_fixed(
         system, phase0, dt, n_steps, method=method, emit_every=emit_every,
         iters=iters, omega=omega, compensated=compensated,
-        steps_per_call=steps_per_call,
+        steps_per_call=steps_per_call, group_unroll=group_unroll,
     )
 
 
@@ -218,6 +220,7 @@ def evolve_ensemble_final(
     compensated: bool = False,
     drift_dtype=None,
     steps_per_call: int = 1,
+    group_unroll: int = 1,
     observable=None,
     obs_every: Optional[int] = None,
 ):
@@ -243,7 +246,7 @@ def evolve_ensemble_final(
         raise ValueError(f"{n_steps=} not divisible by {drift_every=}")
     stepper = make_stepper(
         system, method, iters=iters, omega=omega, compensated=compensated,
-        steps_per_call=steps_per_call,
+        steps_per_call=steps_per_call, group_unroll=group_unroll,
     )
     sub = _check_substeps(stepper, n_steps, drift_every, track_drift)
     if observable is not None:
@@ -286,6 +289,7 @@ def evolve_ensemble_chunked(
     drift_dtype=None,
     callback=None,
     steps_per_call: int = 1,
+    group_unroll: int = 1,
     carry_callback=None,
     initial_carry=None,
     initial_drift: Optional[jax.Array] = None,
@@ -329,7 +333,7 @@ def evolve_ensemble_chunked(
         raise ValueError(f"{chunk_steps=} not divisible by {drift_every=}")
     stepper = make_stepper(
         system, method, iters=iters, omega=omega, compensated=compensated,
-        steps_per_call=steps_per_call,
+        steps_per_call=steps_per_call, group_unroll=group_unroll,
     )
     sub = _check_substeps(stepper, chunk_steps, drift_every, track_drift)
     if observable is not None:
@@ -404,6 +408,7 @@ def evolve_ensemble_sharded(
     reduce_stats: Optional[str] = None,
     compensated: bool = False,
     steps_per_call: int = 1,
+    group_unroll: int = 1,
     observable=None,
     obs_every: Optional[int] = None,
 ):
@@ -454,6 +459,7 @@ def evolve_ensemble_sharded(
                 sys_local, ph_local, dt, n_steps,
                 method=method, emit_every=emit_every, iters=iters, omega=omega,
                 compensated=compensated, steps_per_call=steps_per_call,
+                group_unroll=group_unroll,
             )
 
         return jax.shard_map(
@@ -469,6 +475,7 @@ def evolve_ensemble_sharded(
             method=method, iters=iters, omega=omega,
             track_drift=track_drift, drift_every=drift_every,
             compensated=compensated, steps_per_call=steps_per_call,
+            group_unroll=group_unroll,
             observable=observable, obs_every=obs_every,
         )
         final, drift = out[0], out[1]

@@ -236,6 +236,7 @@ def evolve_ham_fixed(
     remat: bool = False,
     compensated: bool = False,
     steps_per_call: int = 1,
+    group_unroll: int = 1,
 ) -> Phase:
     """Fixed-step evolution: ``n_steps`` steps of size ``dt``, emitting every
     ``emit_every``-th state (chunked emission for long horizons, SURVEY.md §5
@@ -266,7 +267,7 @@ def evolve_ham_fixed(
         )
     stepper = make_stepper(
         system, method, iters=iters, omega=omega, compensated=compensated,
-        steps_per_call=steps_per_call,
+        steps_per_call=steps_per_call, group_unroll=group_unroll,
     )
     dt = jnp.asarray(dt, phase0.q.dtype)
     carry0 = stepper.init(phase0)

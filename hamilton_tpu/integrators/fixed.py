@@ -492,6 +492,7 @@ def make_stepper(
     omega: float = 20.0,
     compensated: bool = False,
     steps_per_call: int = 1,
+    group_unroll: int = 1,
 ) -> Stepper:
     """Build a fixed-step :class:`Stepper` for ``system``.
 
@@ -511,10 +512,20 @@ def make_stepper(
       steps_per_call: for ``leapfrog_fused`` only — dt-steps executed inside
         one kernel dispatch (amortizes the per-dispatch launch overhead; the
         returned stepper reports it as ``.substeps``).
+      group_unroll: fused methods only — 1024-member tile groups processed
+        per kernel instance (independent register streams that hide the
+        latency of sequential arithmetic chains; built for the O(n)
+        semiseparable chain solver).  Batch must be a multiple of
+        ``1024·group_unroll``.
     """
     if steps_per_call != 1 and method not in _FUSED_METHODS:
         raise ValueError(
             f"steps_per_call applies to the fused kernel methods, "
+            f"not {method!r}"
+        )
+    if group_unroll != 1 and method not in _FUSED_METHODS:
+        raise ValueError(
+            f"group_unroll applies to the fused kernel methods, "
             f"not {method!r}"
         )
     if isinstance(iters, tuple) and method not in (
@@ -557,6 +568,7 @@ def make_stepper(
         return factory(
             system, iters=iters, compensated=compensated,
             steps_per_call=steps_per_call, composition=composition,
+            group_unroll=group_unroll,
         )
     elif method == "midpoint":
         return _gauss_stepper(system, GAUSS2, iters, compensated)

@@ -302,9 +302,20 @@ def fused_stepper(
     compensated: bool = False,
     steps_per_call: int = 1,
     composition=(1.0,),
+    group_unroll: int = 1,
 ):
     """Build a fused whole-step leapfrog :class:`Stepper` from a family's
     :class:`FusedForms`.
+
+    ``group_unroll`` processes that many 1024-member tile groups per kernel
+    instance (block shape ``(u, n, 8, 128)``, grid ``B/1024/u``): every
+    per-member value becomes ``u`` independent vector registers flowing
+    through the same instruction stream, which hides the latency of
+    *sequential* arithmetic chains — built for the O(n) semiseparable
+    solver, whose ~25n-deep recursions are dependency-bound where the dense
+    Cholesky's O(n³) supplies its own ILP.  Per-lane results are bitwise
+    identical for any value (elementwise ops never mix lanes); the batch
+    must be a multiple of ``1024·group_unroll``.
 
     ``iters=(iters_p, iters_q)`` are the momentum/position fixed-point
     counts, both *exact* (fresh in-register factorization per iterate);
@@ -344,6 +355,9 @@ def fused_stepper(
             f"got {iters_q}"
         )
     composition = tuple(float(w) for w in composition)
+    u_grp = int(group_unroll)
+    if u_grp < 1:
+        raise ValueError(f"group_unroll must be >= 1, got {group_unroll}")
 
     static_mode = forms.consts is not None
     n_par = 0 if static_mode else len(forms.coef_lens)
@@ -494,14 +508,21 @@ def fused_stepper(
     n_sv = 6 if compensated else 4  # state vectors per member
 
     class _View:
+        # u_grp == 1 reads (8, 128) tiles from (1, k, 8, 128) blocks; with
+        # unrolled groups the leading block axis stays in the value —
+        # (u, 8, 128) (or (1, 8, 128) for shared-param blocks, which
+        # broadcast) — giving u independent register streams per op
         def __init__(self, ref):
             self._ref = ref
 
         def __getitem__(self, i):
-            return self._ref[0, i]
+            return self._ref[0, i] if u_grp == 1 else self._ref[:, i]
 
         def __setitem__(self, i, val):
-            self._ref[0, i] = val
+            if u_grp == 1:
+                self._ref[0, i] = val
+            else:
+                self._ref[:, i] = val
 
     def _multi(step_once, state):
         """Run ``steps_per_call`` step bodies; the carry (a tuple of tile
@@ -544,6 +565,12 @@ def fused_stepper(
 
     def _call(dt_tile, ops):
         g = ops[n_par].shape[0]
+        if g % u_grp != 0:
+            raise ValueError(
+                f"batch of {g} tile groups not divisible by "
+                f"group_unroll={u_grp} (batch must be a multiple of "
+                f"{TILE_B * u_grp})"
+            )
 
         def vec_spec(k, shared=False):
             # ``shared``: a single-group operand (params identical for every
@@ -555,7 +582,7 @@ def fused_stepper(
                     memory_space=pltpu.VMEM,
                 )
             return pl.BlockSpec(
-                (1, k, 8, 128), lambda gg: (gg, gg * 0, gg * 0, gg * 0),
+                (u_grp, k, 8, 128), lambda gg: (gg, gg * 0, gg * 0, gg * 0),
                 memory_space=pltpu.VMEM,
             )
 
@@ -579,7 +606,7 @@ def fused_stepper(
         out_shapes = tuple(sds(t) for t in ops[n_par:])
         return pl.pallas_call(
             kernel,
-            grid=(g,),
+            grid=(g // u_grp,),
             in_specs=[dt_spec] + param_specs + state_specs,
             out_specs=tuple(state_specs),
             out_shape=out_shapes,
@@ -679,9 +706,10 @@ def fused_stepper(
                 f"{tuple(ph.q.shape)} (single trajectories and other "
                 f"shapes: use the library leapfrog)"
             )
-        if ph.q.shape[0] % TILE_B != 0:
+        if ph.q.shape[0] % (TILE_B * u_grp) != 0:
             raise ValueError(
-                f"fused stepper batch must be a multiple of {TILE_B}, got "
+                f"fused stepper batch must be a multiple of "
+                f"{TILE_B * u_grp} (TILE_B × group_unroll), got "
                 f"{ph.q.shape[0]} (use the library leapfrog for other shapes)"
             )
 
@@ -1104,6 +1132,7 @@ def serial_chain_stepper(
     compensated: bool = False,
     steps_per_call: int = 1,
     composition=(1.0,),
+    group_unroll: int = 1,
 ):
     """Build a fused whole-step leapfrog :class:`Stepper` for a planar serial
     chain with the given per-link masses/lengths and gravity.
@@ -1123,4 +1152,5 @@ def serial_chain_stepper(
         serial_chain_forms(masses, lengths, gravity),
         iters=iters, compensated=compensated,
         steps_per_call=steps_per_call, composition=composition,
+        group_unroll=group_unroll,
     )

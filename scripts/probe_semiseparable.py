@@ -30,6 +30,7 @@ def main(argv=None) -> int:
     ap.add_argument("--dt", type=float, default=5e-4)
     ap.add_argument("--iters", default="(2,0)")
     ap.add_argument("--steps-per-call", type=int, default=50)
+    ap.add_argument("--group-unroll", type=int, default=1)
     ap.add_argument("--n-links", type=int, default=20)
     ap.add_argument("--solver", default="both",
                     choices=["both", "dense", "semiseparable"])
@@ -46,7 +47,8 @@ def main(argv=None) -> int:
     iters = tuple(int(x) for x in args.iters.strip("()").split(","))
     print(f"device: {jax.devices()[0].platform}, B={args.batch}, "
           f"n={args.n_links}, steps={args.steps}, dt={args.dt}, "
-          f"iters={iters}, spc={args.steps_per_call}")
+          f"iters={iters}, spc={args.steps_per_call}, "
+          f"group_unroll={args.group_unroll}")
 
     def build(solver):
         ex = chain(n_links=args.n_links, fused_solver=solver)

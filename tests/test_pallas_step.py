@@ -882,3 +882,63 @@ class TestSemiseparableChain:
         )(ph)
         np.testing.assert_allclose(np.asarray(hd), np.asarray(ho),
                                    rtol=0, atol=1e-10)
+
+
+class TestGroupUnroll:
+    """``group_unroll``: multiple 1024-member tile groups per kernel
+    instance — independent register streams hiding sequential-chain
+    latency.  Per-lane arithmetic is untouched, so results are BITWISE
+    identical to group_unroll=1 for every solver and mode."""
+
+    def _ph(self, b, n=4, seed=0):
+        rng = np.random.default_rng(seed)
+        return Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((b, n))),
+                     jnp.asarray(0.01 * rng.standard_normal((b, n))))
+
+    @pytest.mark.parametrize("solver", ["dense", "semiseparable"])
+    def test_bitwise_vs_unit(self, solver):
+        ex = chain(n_links=4, fused_solver=solver)
+        ph = self._ph(2048)
+        dt = jnp.float64(1e-3)
+        s1 = make_stepper(ex.system, "leapfrog_fused", iters=(2, 0),
+                          steps_per_call=2, compensated=True)
+        s2 = make_stepper(ex.system, "leapfrog_fused", iters=(2, 0),
+                          steps_per_call=2, compensated=True,
+                          group_unroll=2)
+        with pltpu.force_tpu_interpret_mode():
+            c1, c2 = s1.init(ph), s2.init(ph)
+            c1, c2 = s1.step(c1, dt), s2.step(c2, dt)
+            a, b = s1.extract(c1), s2.extract(c2)
+        np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+        np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b.p))
+
+    def test_param_sweep_bitwise(self):
+        rng = np.random.default_rng(1)
+        b = 2048
+        pb = {
+            "masses": jnp.asarray(0.5 + rng.random((b, 4))),
+            "lengths": jnp.asarray(0.5 + rng.random((b, 4))),
+            "gravity": jnp.asarray(4.0 + rng.random(b)),
+        }
+        sysb = chain(
+            n_links=4, fused_solver="semiseparable"
+        ).system.replace_params(pb)
+        ph = self._ph(b, seed=2)
+        dt = jnp.float64(1e-3)
+        s1 = make_stepper(sysb, "leapfrog_fused", iters=(2, 1))
+        s2 = make_stepper(sysb, "leapfrog_fused", iters=(2, 1),
+                          group_unroll=2)
+        with pltpu.force_tpu_interpret_mode():
+            c1, c2 = s1.init(ph), s2.init(ph)
+            c1, c2 = s1.step(c1, dt), s2.step(c2, dt)
+            a, b_ = s1.extract(c1), s2.extract(c2)
+        np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b_.q))
+        np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b_.p))
+
+    def test_validation(self):
+        ex = chain(n_links=4)
+        st = make_stepper(ex.system, "leapfrog_fused", group_unroll=2)
+        with pytest.raises(ValueError, match="multiple of"):
+            st.init(self._ph(1024))  # not a multiple of 1024·2
+        with pytest.raises(ValueError, match="group_unroll"):
+            make_stepper(ex.system, "leapfrog", group_unroll=2)

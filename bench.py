@@ -100,11 +100,11 @@ def _probe_accelerator(timeout_s: float = 600.0):
     return proc.stdout.strip().splitlines()[-1]
 
 
-def _build(batch, dtype, n_links=20):
+def _build(batch, dtype, n_links=20, fused_solver="dense"):
     from hamilton_tpu.models import chain
     from hamilton_tpu.state import Phase
 
-    ex = chain(n_links=n_links)
+    ex = chain(n_links=n_links, fused_solver=fused_solver)
     system = jax.tree_util.tree_map(lambda a: a.astype(dtype), ex.system)
     ph0 = ex.init_phase
     rng = np.random.default_rng(0)
@@ -214,7 +214,8 @@ def phase_throughput(args):
 
     def run(method, iters, spc):
         with jax.enable_x64(True):
-            system, ph = _build(args.batch, jnp.float32)
+            system, ph = _build(args.batch, jnp.float32,
+                                fused_solver=args.fused_solver)
             return _timed_chunked_run(
                 args, system, ph, method=method, iters=iters, dt=args.dt,
                 n_steps=n_steps, chunk_steps=chunk_steps, steps_per_call=spc,
@@ -240,6 +241,8 @@ def phase_throughput(args):
         "throughput_method": method,
         "throughput_iters": str(iters),
         "throughput_steps_per_call": spc,
+        "throughput_fused_solver": args.fused_solver,
+        "throughput_group_unroll": args.group_unroll,
         "elapsed_steady_s": r["elapsed_steady_s"],
         "steady_chunks": r["steady_chunks"],
         "chunk_steps": chunk_steps,
@@ -271,7 +274,8 @@ def phase_roofline(args, headline_rate):
         fused_step_cost, hbm_peak_probe, vpu_peak_probe,
     )
 
-    system, _ = _build(args.batch, jnp.float32)
+    system, _ = _build(args.batch, jnp.float32,
+                       fused_solver=args.fused_solver)
     cost = fused_step_cost(
         system, method="leapfrog_fused", iters=args.iters,
         steps_per_call=args.steps_per_call, compensated=True,
@@ -337,9 +341,10 @@ def phase_margin(args):
        headline throughput.  Host check: 9.1e-8 (f32) vs 8.7e-8 (f64) at
        B=32 — still truncation-limited, so the f32 walk stays below it.
     """
-    def run(method, iters, dt, n_steps, chunk_steps):
+    def run(method, iters, dt, n_steps, chunk_steps, solver=None):
         with jax.enable_x64(True):
-            system, ph = _build(args.batch, jnp.float32)
+            system, ph = _build(args.batch, jnp.float32,
+                                fused_solver=solver or args.fused_solver)
             return _timed_chunked_run(
                 args, system, ph, method=method, iters=iters, dt=dt,
                 n_steps=n_steps, chunk_steps=chunk_steps,
@@ -363,7 +368,8 @@ def phase_margin(args):
     try:
         # round-1..3 continuity anchor: the exact-placement (2,1) schedule
         # at dt=1e-3 over 1e5 steps (the previous headline config)
-        anchor = run("leapfrog_fused", (2, 1), 1e-3, n_steps, chunk_steps)
+        anchor = run("leapfrog_fused", (2, 1), 1e-3, n_steps,
+                     chunk_steps, solver="dense")
         out.update({
             "anchor21_member_steps_per_sec": anchor["member_steps_per_sec"],
             "anchor21_tpu_max_energy_drift_f32comp": anchor["max_drift"],
@@ -392,7 +398,8 @@ def phase_sweep(args):
     chunk_steps = min(args.chunk_steps, args.sweep_steps)
     n_steps = (args.sweep_steps // chunk_steps) * chunk_steps
     with jax.enable_x64(True):
-        system, ph = _build(args.batch, jnp.float32)
+        system, ph = _build(args.batch, jnp.float32,
+                            fused_solver=args.fused_solver)
         rng = np.random.default_rng(7)
         n = ph.q.shape[1]
         sysb = system.replace_params({
@@ -812,6 +819,17 @@ def main(argv=None):
     # 3.7e-7 @2e4 — docs/design.md).  Must divide chunk_steps and
     # drift_every.
     ap.add_argument("--steps-per-call", type=int, default=50)
+    ap.add_argument("--fused-solver", default="semiseparable",
+                    choices=["dense", "semiseparable"],
+                    help="fused-kernel linear algebra for the chain "
+                    "phases: the O(n) semiseparable factorization "
+                    "(headline) or the generic dense in-register Cholesky "
+                    "(the round-1..3 arithmetic; the anchor21 datapoint "
+                    "always uses it)")
+    ap.add_argument("--group-unroll", type=int, default=4,
+                    help="1024-member tile groups per fused-kernel "
+                    "instance (bitwise-identical results; hides the "
+                    "semiseparable recursion's latency)")
     # full-horizon yoshida4_fused margin datapoint + runtime-params sweep
     # throughput (both chunked, f64-sampled drift like the headline)
     ap.add_argument("--margin-steps", type=int, default=100_000)

@@ -693,18 +693,20 @@ def phase_double_pendulum(args):
     # library fallback — the DP is the n=2 serial-chain family member)
     system, ph = build(args.batch, jnp.float32)
 
-    def make_run(method, iters, spc=1):
+    def make_run(method, iters, spc=1, gu=1):
         return jax.jit(
             lambda p, n: evolve_ensemble_final(
                 system, p, 1e-3, n, method=method, iters=iters,
                 track_drift=False, drift_every=n, steps_per_call=spc,
+                group_unroll=gu,
             )[0],
             static_argnums=1,
         )
 
     n = 10_000  # dp steps are much cheaper than chain-20; 10k suffices
     try:
-        run = make_run("leapfrog_fused", (2, 1), spc=50)
+        gu = args.group_unroll if args.batch % (1024 * args.group_unroll) == 0 else 1
+        run = make_run("leapfrog_fused", (2, 1), spc=50, gu=gu)
         jax.block_until_ready(run(ph, n))  # compile
         out["dp_method"] = "leapfrog_fused"
     except Exception as e:  # pragma: no cover

@@ -604,12 +604,23 @@ def fused_stepper(
             return jax.ShapeDtypeStruct((g, n, 8, 128), t.dtype)
 
         out_shapes = tuple(sds(t) for t in ops[n_par:])
+        extra = {}
+        if u_grp > 4:
+            # the per-instance live set (u× state tuples + the factor carry,
+            # which for the semiseparable chain is ~5n (8,128) tiles per
+            # group) outgrows Mosaic's default 16 MiB scoped-VMEM budget
+            # past u=4; raise the cap toward the physical 128 MiB, keeping
+            # headroom for the grid pipeline's double buffers
+            extra["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
         return pl.pallas_call(
             kernel,
             grid=(g // u_grp,),
             in_specs=[dt_spec] + param_specs + state_specs,
             out_specs=tuple(state_specs),
             out_shape=out_shapes,
+            **extra,
         )(dt_tile, *ops)
 
     def _replay(dt_tile, *ops):

@@ -129,16 +129,23 @@ def chain(
     # factorization exploiting K's semiseparable structure
     # (serial_chain_forms_on) — same fixed points, ~5n factor carry.
     from hamilton_tpu.ops.pallas_step import (
-        serial_chain_forms, serial_chain_forms_on,
+        serial_chain_forms, serial_chain_forms_linv, serial_chain_forms_on,
     )
 
-    if fused_solver not in ("dense", "semiseparable"):
+    factories = {
+        "dense": serial_chain_forms,
+        "semiseparable": serial_chain_forms_on,
+        # "linv": semiseparable factorization + explicit L⁻¹ mat-vec
+        # solves (log-depth reductions) — trades ~2× flops for ~5× less
+        # solve latency; measured per-config, see docs/design.md
+        "linv": serial_chain_forms_linv,
+    }
+    if fused_solver not in factories:
         raise ValueError(
-            f"fused_solver must be 'dense' or 'semiseparable', "
+            f"fused_solver must be one of {sorted(factories)}, "
             f"got {fused_solver!r}"
         )
-    forms_factory = (serial_chain_forms if fused_solver == "dense"
-                     else serial_chain_forms_on)
+    forms_factory = factories[fused_solver]
 
     def fused_forms(system):
         p = system.params

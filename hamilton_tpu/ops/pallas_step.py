@@ -84,6 +84,8 @@ __all__ = [
     "FamilyFns",
     "fused_stepper",
     "serial_chain_forms",
+    "serial_chain_forms_on",
+    "serial_chain_forms_linv",
     "serial_chain_stepper",
     "concrete_vec",
     "concrete_scalar",
@@ -1131,6 +1133,110 @@ def serial_chain_forms_on(masses, lengths, gravity) -> FusedForms:
     return FusedForms(
         n=n, n_aux=2 * n, coef_lens=(3 * n,), consts=consts,
         arrays_fn=arrays_fn, make=make, name="serial_chain_on",
+    )
+
+
+def _tree_sum(terms):
+    """Balanced pairwise sum over a list of per-member values.
+
+    Floating-point addition is not reassociable, so the Mosaic scheduler
+    cannot turn a left-fold into a log-depth reduction itself — emit the
+    tree explicitly.  Depth ⌈log₂ k⌉ instead of k−1; same add count."""
+    terms = list(terms)
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def serial_chain_forms_linv(masses, lengths, gravity):
+    """Latency-optimized variant of :func:`serial_chain_forms_on`: the
+    factorization additionally **materializes the explicit inverse
+    Cholesky factor** ``L⁻¹`` (n(n+1)/2 entries), so each triangular
+    solve becomes a dense mat-vec with balanced log-depth reductions —
+    straight-line arithmetic of depth ~⌈log₂ n⌉ — instead of two
+    depth-n sequential recursions.
+
+    Rationale (docs/design.md round-4b): the semiseparable kernel is
+    **latency-bound** (fused_vpu_util ~0.37) — its ~25n-deep factor/solve
+    recursions serialize, and the four solves per (2,0) step are ~2/3 of
+    the step's critical path.  Here the O(n²) column materialization
+    happens ONCE per step (inside ``factor``, amortized over all solves
+    of the step and carried across the ``steps_per_call`` block like any
+    factor), and its n columns are **mutually independent** O(n)
+    recursions — n parallel chains the scheduler can interleave — via
+    column-wise forward substitution on the semiseparable generators:
+
+        col a:  x_a = 1/d_a;   s = z_a·x_a;
+                x_i = −(1/d_i)·(u_i·s),  s += z_i·x_i     (i > a).
+
+    Flops/step roughly double vs ``serial_chain_forms_on`` (still ~2×
+    below the dense family), buying ~5× less solve-chain depth; whether
+    that nets out is measured on hardware (scripts/probe_semiseparable.py
+    --solver linv), not assumed.  Fixed points are identical to the dense
+    and semiseparable families; results differ only at rounding level
+    (the mat-vec's balanced summation order).
+    """
+    base = serial_chain_forms_on(masses, lengths, gravity)
+    n = base.n
+
+    def make(at, fm):
+        fam = base.make(at, fm)
+        base_factor = fam.factor_solve[0]
+
+        def factor(aux_v, q):
+            """Semiseparable O(n) factorization, then L⁻¹ columns.
+
+            Entry layout: column-major lower triangle, column ``a``
+            holding ``L⁻¹[i, a]`` for ``i ≥ a`` (processing order —
+            tip-to-base, like the base family's factor)."""
+            ent = base_factor(aux_v, q)
+            zx, zy = ent[0:n], ent[n:2 * n]
+            idv = ent[2 * n:3 * n]
+            ux, uy = ent[3 * n:4 * n], ent[4 * n:5 * n]
+            flat = []
+            for a in range(n):
+                xa = idv[a]
+                col = [xa]
+                sx, sy = zx[a] * xa, zy[a] * xa
+                for i in range(a + 1, n):
+                    xi = -(idv[i] * (ux[i] * sx + uy[i] * sy))
+                    col.append(xi)
+                    if i < n - 1:
+                        sx = sx + zx[i] * xi
+                        sy = sy + zy[i] * xi
+                flat.extend(col)
+            return tuple(flat)
+
+        def solve(ent, b):
+            """``x = L⁻ᵀ (L⁻¹ b̃)`` as two triangular mat-vecs with
+            balanced reductions; ``b``/result in original link order."""
+            linv = {}
+            k = 0
+            for a in range(n):
+                for i in range(a, n):
+                    linv[(i, a)] = ent[k]
+                    k += 1
+            bt = [b[n - 1 - a] for a in range(n)]  # tilde order
+            y = [
+                _tree_sum([linv[(i, a)] * bt[a] for a in range(i + 1)])
+                for i in range(n)
+            ]
+            xt = [
+                _tree_sum([linv[(i, a)] * y[i] for i in range(a, n)])
+                for a in range(n)
+            ]
+            return [xt[n - 1 - j] for j in range(n)]
+
+        return FamilyFns(
+            fam.aux, fam.k_at, fam.dhdq, fam.potential, (factor, solve)
+        )
+
+    return FusedForms(
+        n=n, n_aux=base.n_aux, coef_lens=base.coef_lens, consts=base.consts,
+        arrays_fn=base.arrays_fn, make=make, name="serial_chain_linv",
     )
 
 

@@ -884,6 +884,94 @@ class TestSemiseparableChain:
                                    rtol=0, atol=1e-10)
 
 
+class TestLinvSolver:
+    """``fused_solver="linv"`` (``serial_chain_forms_linv``): the
+    semiseparable factorization plus an explicit L⁻¹ materialization, so
+    solves are log-depth triangular mat-vecs.  Same fixed points as the
+    dense/semiseparable families — parity to f64 rounding."""
+
+    def test_solve_matches_numpy(self):
+        """Library-level (pure jnp columns, f64) at n=20: the two-mat-vec
+        solve ≡ dense numpy solve on the chain's mass matrix."""
+        from hamilton_tpu.ops.pallas_step import (
+            FM_JNP, serial_chain_forms, serial_chain_forms_linv,
+        )
+
+        n, b = 20, 64
+        rng = np.random.default_rng(11)
+        m = list(0.3 + rng.random(n))
+        l = list(0.4 + rng.random(n))
+        fd = serial_chain_forms(m, l, 5.0)
+        fl = serial_chain_forms_linv(m, l, 5.0)
+        famd = fd.make(fd.const_accessors(), FM_JNP)
+        faml = fl.make(fl.const_accessors(), FM_JNP)
+        q = [jnp.asarray(rng.uniform(-3, 3, b)) for _ in range(n)]
+        rhs = [jnp.asarray(rng.standard_normal(b)) for _ in range(n)]
+        auxd, auxl = famd.aux(q), faml.aux(q)
+        kd = famd.k_at(auxd, q)
+        fac = faml.factor_solve[0](auxl, q)
+        assert len(fac) == n * (n + 1) // 2
+        x = faml.factor_solve[1](fac, rhs)
+        k_mat = np.zeros((b, n, n))
+        for i in range(n):
+            for j in range(n):
+                k_mat[:, i, j] = np.asarray(kd(max(i, j), min(i, j)))
+        bmat = np.stack([np.asarray(r) for r in rhs], -1)[..., None]
+        xref = np.linalg.solve(k_mat, bmat)[..., 0]
+        xon = np.stack([np.asarray(xi) for xi in x], -1)
+        np.testing.assert_allclose(xon, xref, rtol=0, atol=1e-11)
+
+    def test_fused_matches_library(self):
+        """Kernel path (interpreter, f64): linv fused ≡ library leapfrog
+        at 1e-12 over 2 steps, including the steps_per_call factor carry
+        (the carried entries are the L⁻¹ columns)."""
+        ex = chain(n_links=5, fused_solver="linv")
+        rng = np.random.default_rng(12)
+        ph = Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((B, 5))),
+                   jnp.asarray(0.01 * rng.standard_normal((B, 5))))
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(ex.system, "leapfrog", iters=(3, 2))
+        fus = make_stepper(ex.system, "leapfrog_fused", iters=(3, 2),
+                           steps_per_call=2)
+        c_lib = lib.init(ph)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.init(ph)
+            for _ in range(2):
+                c_lib = lib.step(c_lib, dt)
+                c_lib = lib.step(c_lib, dt)
+                c_fus = fus.step(c_fus, dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-12)
+
+    def test_param_sweep_matches_library(self):
+        """Runtime-operand mode: per-member (m, l, g) sweeps ride the
+        same 3n coefficient table as the semiseparable family."""
+        rng = np.random.default_rng(13)
+        ph = Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((B, 4))),
+                   jnp.asarray(0.01 * rng.standard_normal((B, 4))))
+        pb = {
+            "masses": jnp.asarray(0.5 + rng.random((B, 4))),
+            "lengths": jnp.asarray(0.5 + rng.random((B, 4))),
+            "gravity": jnp.asarray(4.0 + rng.random(B)),
+        }
+        sysd = chain(n_links=4).system.replace_params(pb)
+        sysl = chain(n_links=4, fused_solver="linv").system.replace_params(pb)
+        dt = jnp.float64(1e-3)
+        lib = make_stepper(sysd, "leapfrog", iters=(3, 2))
+        fus = make_stepper(sysl, "leapfrog_fused", iters=(3, 2))
+        c_lib = lib.step(lib.init(ph), dt)
+        with pltpu.force_tpu_interpret_mode():
+            c_fus = fus.step(fus.init(ph), dt)
+            a, b = lib.extract(c_lib), fus.extract(c_fus)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
+                                   rtol=0, atol=1e-12)
+
+
 class TestGroupUnroll:
     """``group_unroll``: multiple 1024-member tile groups per kernel
     instance — independent register streams hiding sequential-chain
@@ -895,7 +983,7 @@ class TestGroupUnroll:
         return Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((b, n))),
                      jnp.asarray(0.01 * rng.standard_normal((b, n))))
 
-    @pytest.mark.parametrize("solver", ["dense", "semiseparable"])
+    @pytest.mark.parametrize("solver", ["dense", "semiseparable", "linv"])
     def test_bitwise_vs_unit(self, solver):
         ex = chain(n_links=4, fused_solver=solver)
         ph = self._ph(2048)

@@ -63,13 +63,123 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
+import math
+import os
 import subprocess
 import sys
 import time
 
+# the experimental-platform WARNING would otherwise land in the driver's
+# 2000-char stdout/stderr tail capture, eating the JSON line's budget
+logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Output-line compaction.  The driver records only the LAST ~2000 characters
+# of the bench's output and json-parses the JSON line it finds there —
+# round 4's full-precision line outgrew that window and the official
+# artifact lost the headline entirely (VERDICT r4 item 1b).  The contract:
+#   * the FULL-precision record is written to BENCH_full.json next to this
+#     script;
+#   * stdout carries ONE compact line: floats at <=5 significant digits,
+#     None values dropped, and the headline keys placed at the very END of
+#     the line (a front-truncated tail then still ends with them);
+#   * if the line still exceeds the budget, non-headline keys are dropped
+#     in documented priority order (an ``omitted_keys`` count is emitted;
+#     the dropped values remain in BENCH_full.json).
+# tests/test_bench.py pins this behavior.
+# ---------------------------------------------------------------------------
+
+# never dropped; emitted LAST in this order (``vs_baseline`` ends the line)
+PINNED_TAIL_KEYS = (
+    "throughput_fused_solver",
+    "throughput_group_unroll",
+    "tpu_max_energy_drift_f32comp",
+    "member_steps_per_sec",
+    "metric",
+    "value",
+    "unit",
+    "vs_baseline",
+)
+
+# substring classes dropped first when over budget, least important first
+DROP_CLASSES = (
+    "first_chunk_s",
+    "elapsed_steady_s",
+    "steady_chunks",
+    "chunk_steps",
+    "drift_sampler",
+    "_platform",
+    "platform",
+    "_steps",
+    "_dt",
+    "_batch",
+    "_method",
+    "_iters",
+    "method",
+)
+LINE_BUDGET = 1750  # leaves headroom for stray log lines inside 2000 chars
+
+
+def _round_sig(v, sig=5):
+    if isinstance(v, float):
+        if v == 0.0 or not math.isfinite(v):
+            return v
+        return float(f"{v:.{sig}g}")
+    return v
+
+
+def compact_record(out, limit=LINE_BUDGET):
+    """One json line <= ``limit`` chars: rounded floats, no Nones, headline
+    keys pinned to the end, lowest-priority keys dropped if needed."""
+    rec = {}
+    for k, v in out.items():
+        if v is None:
+            continue
+        if isinstance(v, str) and k.endswith("_error"):
+            v = v[:90]  # full text lives in BENCH_full.json
+        rec[k] = _round_sig(v)
+    pinned = [k for k in PINNED_TAIL_KEYS if k in rec]
+    rest = [k for k in rec if k not in PINNED_TAIL_KEYS]
+
+    def drop_rank(k):
+        for i, pat in enumerate(DROP_CLASSES):
+            if pat in k:
+                return i
+        return len(DROP_CLASSES)
+
+    # within a class, drop the longest entries first
+    drop_order = sorted(
+        rest, key=lambda k: (drop_rank(k), -len(json.dumps({k: rec[k]})))
+    )
+    omitted = 0
+    while True:
+        kept = [k for k in rest if k in rec]
+        body = {k: rec[k] for k in kept}
+        if omitted:
+            body["omitted_keys"] = omitted
+        body.update({k: rec[k] for k in pinned})
+        line = json.dumps(body)
+        if len(line) <= limit or not drop_order:
+            return line
+        del rec[drop_order.pop(0)]
+        omitted += 1
+
+
+def write_full_record(out, path=None):
+    """Full-precision record to BENCH_full.json (next to this script)."""
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_full.json")
+    try:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:  # pragma: no cover — never block the stdout line
+        pass
 
 
 def _host_pinned() -> bool:
@@ -118,7 +228,7 @@ def _build(batch, dtype, n_links=20, fused_solver="dense"):
 
 
 def _timed_chunked_run(args, system, ph, *, method, iters, dt, n_steps,
-                       chunk_steps, steps_per_call):
+                       chunk_steps, steps_per_call, group_unroll=None):
     """One chunked compensated evolve with steady-chunk wall timing and
     on-device high-precision drift sampling — the shared measurement core
     of the throughput/margin/sweep phases (and scripts/probe_dthalf.py).
@@ -160,13 +270,19 @@ def _timed_chunked_run(args, system, ph, *, method, iters, dt, n_steps,
         chunk_wall.append(now - t_last[0])
         t_last[0] = now
 
+    if group_unroll is None:
+        # group_unroll is a fused-kernel launch parameter; non-fused methods
+        # reject it — the library fallback must not inherit the args default
+        # (ADVICE r4 medium)
+        group_unroll = (getattr(args, "group_unroll", 1)
+                        if method.endswith("_fused") else 1)
     final, drift = evolve_ensemble_chunked(
         system, ph, dt, n_steps, chunk_steps=chunk_steps,
         method=method, iters=iters, compensated=True,
         drift_every=min(args.drift_every, chunk_steps),
         drift_dtype=drift_dtype, callback=on_chunk,
         steps_per_call=steps_per_call,
-        group_unroll=getattr(args, "group_unroll", 1),
+        group_unroll=group_unroll,
     )
     jax.block_until_ready(final.q)
     max_drift = float(jnp.max(drift))
@@ -341,14 +457,14 @@ def phase_margin(args):
        headline throughput.  Host check: 9.1e-8 (f32) vs 8.7e-8 (f64) at
        B=32 — still truncation-limited, so the f32 walk stays below it.
     """
-    def run(method, iters, dt, n_steps, chunk_steps, solver=None):
+    def run(method, iters, dt, n_steps, chunk_steps, solver=None, gu=None):
         with jax.enable_x64(True):
             system, ph = _build(args.batch, jnp.float32,
                                 fused_solver=solver or args.fused_solver)
             return _timed_chunked_run(
                 args, system, ph, method=method, iters=iters, dt=dt,
                 n_steps=n_steps, chunk_steps=chunk_steps,
-                steps_per_call=args.steps_per_call,
+                steps_per_call=args.steps_per_call, group_unroll=gu,
             )
 
     chunk_steps = min(args.chunk_steps, args.margin_steps)
@@ -367,9 +483,11 @@ def phase_margin(args):
         out["order4_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         # round-1..3 continuity anchor: the exact-placement (2,1) schedule
-        # at dt=1e-3 over 1e5 steps (the previous headline config)
+        # at dt=1e-3 over 1e5 steps (the previous headline config).
+        # group_unroll pinned to 1: the gu=1 rounds it anchors used that
+        # launch geometry (ADVICE r4)
         anchor = run("leapfrog_fused", (2, 1), 1e-3, n_steps,
-                     chunk_steps, solver="dense")
+                     chunk_steps, solver="dense", gu=1)
         out.update({
             "anchor21_member_steps_per_sec": anchor["member_steps_per_sec"],
             "anchor21_tpu_max_energy_drift_f32comp": anchor["max_drift"],
@@ -500,6 +618,63 @@ def phase_families(args):
     return out
 
 
+def phase_chain40(args):
+    """SURVEY's stress config (``System 40 20`` — the 20-link chain doubled):
+    does the O(n) semiseparable solver's edge over the dense O(n³) kernel
+    scale with n, and where does VMEM top out (VERDICT r4 item 8)?
+
+    Runs the fused kernel at 40 links, headline dt/schedule, over a short
+    horizon (throughput is the point; the drift lever transfers — dt²
+    truncation).  Reports semiseparable member-steps/s, the dense ratio,
+    and the group_unroll actually used (u·n > 80 rides the raised
+    scoped-VMEM cap, ops/pallas_step.py ``_call``)."""
+    steps = min(args.steps, 20_000)
+    chunk_steps = min(args.chunk_steps, steps)
+    n_steps = (steps // chunk_steps) * chunk_steps
+    out = {}
+
+    def run(solver, gu):
+        with jax.enable_x64(True):
+            system, ph = _build(args.batch, jnp.float32, n_links=40,
+                                fused_solver=solver)
+            return _timed_chunked_run(
+                args, system, ph, method="leapfrog_fused", iters=args.iters,
+                dt=args.dt, n_steps=n_steps, chunk_steps=chunk_steps,
+                steps_per_call=args.steps_per_call, group_unroll=gu,
+            )
+
+    semi = None
+    for gu in (args.group_unroll, 2, 1):
+        if args.batch % (1024 * gu):
+            continue
+        try:
+            semi = run("semiseparable", gu)
+            out["chain40_group_unroll"] = gu
+            break
+        except Exception as e:  # pragma: no cover
+            out["chain40_semi_error"] = f"{type(e).__name__}: {e}"[:120]
+    if semi is not None:
+        out["chain40_semiseparable_member_steps_per_sec"] = (
+            semi["member_steps_per_sec"]
+        )
+        out["chain40_max_drift"] = semi["max_drift"]
+        out["chain40_steps"] = n_steps
+        out.pop("chain40_semi_error", None)
+    try:
+        dense = run("dense", 1)
+        out["chain40_dense_member_steps_per_sec"] = (
+            dense["member_steps_per_sec"]
+        )
+        if semi is not None:
+            out["chain40_semi_vs_dense"] = round(
+                semi["member_steps_per_sec"]
+                / dense["member_steps_per_sec"], 2
+            )
+    except Exception as e:  # pragma: no cover
+        out["chain40_dense_error"] = f"{type(e).__name__}: {e}"[:120]
+    return out
+
+
 def phase_adaptive(args):
     """Adaptive path on the accelerator (VERDICT r2 item 7): single and
     8-member ``evolve_ham`` (shared + per-member controllers) on-device in
@@ -565,6 +740,50 @@ def phase_adaptive(args):
                 out["adaptive_batched_vs_host_serial"] = round(
                     out["adaptive_batched_traj_per_sec"]
                     * out["adaptive_cpu_single_s"], 1
+                )
+            # ensemble-scale 16k datapoints (VERDICT r4 item 4): the
+            # journal's strongest adaptive results (B=16384 shared
+            # controller: 171.7 traj/s f64 = 450× host-serial; 791/s f32 at
+            # eps=1e-6) lived only in prose — put them in the artifact.
+            # Budget-guard by projecting from the measured b_scale rate.
+            b16 = max(args.batch, 4096)
+            projected = out["adaptive_tpu_batched_s"] * (b16 / b_scale)
+            if projected < 400.0:
+                try:
+                    system16, ph16 = _build(b16, jnp.float64)
+                    timed("adaptive_batched16k_f64_s", None, evolve_ham,
+                          system16, ph16,
+                          jnp.asarray([0.0, 1.0], jnp.float64),
+                          batch_mode="shared")
+                    out["adaptive_batched16k_b"] = b16
+                    out["adaptive_batched16k_f64_traj_per_sec"] = round(
+                        b16 / out["adaptive_batched16k_f64_s"], 1
+                    )
+                    if out.get("adaptive_cpu_single_s"):
+                        out["adaptive_batched16k_vs_host_serial"] = round(
+                            out["adaptive_batched16k_f64_traj_per_sec"]
+                            * out["adaptive_cpu_single_s"], 1
+                        )
+                except Exception as e:  # pragma: no cover
+                    out["adaptive_16k_error"] = f"{type(e).__name__}: {e}"[:120]
+                try:
+                    # f32 mode: GSL's 1.49e-8 eps is below f32 resolution, so
+                    # the meaningful f32 operating point is eps=1e-6
+                    system32, ph32 = _build(b16, jnp.float32)
+                    timed("adaptive_batched16k_f32_s", None, evolve_ham,
+                          system32, ph32,
+                          jnp.asarray([0.0, 1.0], jnp.float32),
+                          batch_mode="shared", eps_abs=1e-6, eps_rel=1e-6)
+                    out["adaptive_batched16k_f32_traj_per_sec"] = round(
+                        b16 / out["adaptive_batched16k_f32_s"], 1
+                    )
+                except Exception as e:  # pragma: no cover
+                    out["adaptive_16k_f32_error"] = (
+                        f"{type(e).__name__}: {e}"[:120]
+                    )
+            else:
+                out["adaptive_16k_skipped"] = (
+                    f"projected {projected:.0f}s over budget"
                 )
         out["adaptive_platform"] = jax.devices()[0].platform
     return out
@@ -845,6 +1064,7 @@ def main(argv=None):
     ap.add_argument("--skip-roofline", action="store_true")
     ap.add_argument("--skip-families", action="store_true")
     ap.add_argument("--skip-sweep", action="store_true")
+    ap.add_argument("--skip-chain40", action="store_true")
     ap.add_argument("--skip-adaptive", action="store_true")
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
@@ -860,6 +1080,14 @@ def main(argv=None):
 
     if args.quick:
         shrink_to_quick()
+    clamp_note = None
+    if args.group_unroll > 1 and args.batch % (1024 * args.group_unroll):
+        # fused group tiles are 1024 members; a batch that doesn't fill
+        # group_unroll of them would fail every fused phase (ADVICE r4) —
+        # clamp and note it rather than erroring the whole bench
+        clamp_note = (f"{args.group_unroll}->1: batch {args.batch} not a "
+                      f"multiple of {1024 * args.group_unroll}")
+        args.group_unroll = 1
     # drift samples land on whole fused blocks: a --drift-every that is not
     # a multiple of --steps-per-call would make the fused phases raise and
     # phase_throughput silently fall back to the (~3× slower) library path,
@@ -880,6 +1108,8 @@ def main(argv=None):
             )
 
     extras = {"method": args.method}
+    if clamp_note:
+        extras["group_unroll_clamped"] = clamp_note
     platform = "cpu" if _host_pinned() else _probe_accelerator()
     if platform is None:
         # accelerator init hangs (wedged tunnel): pin THIS process to the
@@ -920,6 +1150,11 @@ def main(argv=None):
             extras.update(phase_families(args))
         except Exception as e:  # pragma: no cover
             extras["families_error"] = f"{type(e).__name__}: {e}"[:200]
+    if not args.skip_chain40:
+        try:
+            extras.update(phase_chain40(args))
+        except Exception as e:  # pragma: no cover
+            extras["chain40_error"] = f"{type(e).__name__}: {e}"[:200]
     # order matters: a failed TPU-f64 attempt can leave the device faulted
     # for the rest of the process, so all f32 accelerator phases run before
     # the f64 attempts (adaptive is f64-on-device but small/short; it runs
@@ -956,7 +1191,8 @@ def main(argv=None):
         "vs_baseline": round(vs_baseline, 1),
         **{k: v for k, v in extras.items()},
     }
-    print(json.dumps(out))
+    write_full_record(out)
+    print(compact_record(out))
     return 0
 
 

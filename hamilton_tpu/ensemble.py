@@ -41,6 +41,23 @@ __all__ = [
 ]
 
 
+def _callback_wants_obs(cb) -> bool:
+    """True when ``cb`` can accept the round-4 ``(ci, carry, drift, obs)``
+    carry-callback signature; False for the legacy round-3 3-arg form.
+    Unintrospectable callables (C extensions) get the current 4-arg call."""
+    import inspect
+
+    try:
+        sig = inspect.signature(cb)
+    except (TypeError, ValueError):
+        return True
+    try:
+        sig.bind(0, None, None, None)
+        return True
+    except TypeError:
+        return False
+
+
 def evolve_ensemble(
     system: System,
     phase0: Phase,
@@ -383,7 +400,13 @@ def evolve_ensemble_chunked(
             callback(ci, stepper.extract(carry), drift)
         if carry_callback is not None:
             jax.block_until_ready(drift)
-            carry_callback(ci, carry, drift, obs)
+            if _callback_wants_obs(carry_callback):
+                carry_callback(ci, carry, drift, obs)
+            else:
+                # round-3 interface took (ci, carry, drift); support 3-arg
+                # callbacks without the round-4 observable state for one
+                # release (deprecation path, see CHANGELOG)
+                carry_callback(ci, carry, drift)
     final = stepper.extract(carry)
     drift = drift if track_drift else None
     if observable is not None:

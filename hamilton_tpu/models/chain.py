@@ -129,7 +129,8 @@ def chain(
     # factorization exploiting K's semiseparable structure
     # (serial_chain_forms_on) — same fixed points, ~5n factor carry.
     from hamilton_tpu.ops.pallas_step import (
-        serial_chain_forms, serial_chain_forms_linv, serial_chain_forms_on,
+        serial_chain_forms, serial_chain_forms_linv,
+        serial_chain_forms_mobius, serial_chain_forms_on,
     )
 
     factories = {
@@ -139,6 +140,10 @@ def chain(
         # solves (log-depth reductions) — trades ~2× flops for ~5× less
         # solve latency; measured per-config, see docs/design.md
         "linv": serial_chain_forms_linv,
+        # "mobius": the semiseparable factorization with its Riccati
+        # recursion collapsed to a division/sqrt-free scalar Möbius chain —
+        # ~2n critical-path depth at the same flop count (round 5)
+        "mobius": serial_chain_forms_mobius,
     }
     if fused_solver not in factories:
         raise ValueError(

@@ -86,6 +86,7 @@ __all__ = [
     "serial_chain_forms",
     "serial_chain_forms_on",
     "serial_chain_forms_linv",
+    "serial_chain_forms_mobius",
     "serial_chain_stepper",
     "concrete_vec",
     "concrete_scalar",
@@ -607,12 +608,13 @@ def fused_stepper(
 
         out_shapes = tuple(sds(t) for t in ops[n_par:])
         extra = {}
-        if u_grp > 4:
+        if u_grp > 4 or u_grp * n > 80:
             # the per-instance live set (u× state tuples + the factor carry,
             # which for the semiseparable chain is ~5n (8,128) tiles per
             # group) outgrows Mosaic's default 16 MiB scoped-VMEM budget
-            # past u=4; raise the cap toward the physical 128 MiB, keeping
-            # headroom for the grid pipeline's double buffers
+            # past u·n ≈ 80 (u=8 at chain-20, u=4 at chain-40); raise the
+            # cap toward the physical 128 MiB, keeping headroom for the
+            # grid pipeline's double buffers
             extra["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             )
@@ -1133,6 +1135,126 @@ def serial_chain_forms_on(masses, lengths, gravity) -> FusedForms:
     return FusedForms(
         n=n, n_aux=2 * n, coef_lens=(3 * n,), consts=consts,
         arrays_fn=arrays_fn, make=make, name="serial_chain_on",
+    )
+
+
+def serial_chain_forms_mobius(masses, lengths, gravity) -> FusedForms:
+    """Depth-optimized variant of :func:`serial_chain_forms_on`: the
+    semiseparable Cholesky's 2×2 Riccati recursion collapsed to a
+    **division-free, sqrt-free scalar Möbius chain**.
+
+    Derivation.  Write the running factor state as ``W_a = S̃_a·I − P_{a-1}``
+    (the base family computes ``y_a = W_a ũ_a``).  One step of the recursion
+    is a discrete Riccati map ``W' = δ·I + W − Wu(uᵀWu)⁻¹uᵀW`` with
+    ``δ_a = S̃_a − S̃_{a-1}`` (the processed link's mass).  In the plane the
+    projection ``W − Wu(uᵀWu)⁻¹uᵀW`` annihilates ``û`` and leaves the single
+    value ``β = 1/(f̂ᵀW⁻¹f̂)`` on ``f̂ = rot90(û)`` — so the whole 2×2 state
+    is ``W_a = δ_a·I + β_{a-1}·f̂_{a-1}f̂_{a-1}ᵀ``, and β obeys the scalar
+    Möbius recursion
+
+        ``β_a = δ_a(δ_a + β_{a-1}) / (δ_a + σ_a·β_{a-1})``,
+
+    with ``σ_a = sin²(θ_a − θ_{a-1})`` the squared sine of the *relative*
+    link angle.  Kept in homogeneous form ``β = p/q`` the chain is linear,
+
+        ``p' = p + δ_a·q``,  ``q' = (σ_a/δ_a)·p + q``,
+
+    — per link TWO multiply-adds of critical-path depth, no division, no
+    square root.  Everything else (β = p/q, ``y_a = δ_aũ_a + β_{a-1}
+    (f̂_{a-1}·ũ_a)f̂_{a-1}``, ``d², 1/d, z``) is per-link independent work
+    off the critical path.  The factor's dependency chain drops from ~25n
+    (mul/sub/sqrt/div per link, docs/design.md round-4b) to ~2n at the SAME
+    flop count — the "shorten the recursion itself" lever the round-4
+    journal left unexplored.  Entry layout and the triangular solves are
+    identical to the base family; in exact arithmetic the factors are
+    equal, so fixed points and trajectories agree to rounding.
+
+    Overflow note: the homogeneous pair grows multiplicatively; with the
+    ``1/δ``-normalized transfer matrix above, ``q_n ≤ Π(1 + σβ/δ)`` stays
+    far inside f32 range for physical mass ratios (β ≤ total mass, so each
+    factor ≤ 1 + M/δ_min; 20 links at 400:1 total:link mass ratio would be
+    needed to approach 1e38).
+    """
+    base = serial_chain_forms_on(masses, lengths, gravity)
+    n = base.n
+
+    m_c = concrete_vec(masses, n)
+    l_c = concrete_vec(lengths, n)
+    g_c = concrete_scalar(gravity)
+    consts = None
+    if m_c is not None and l_c is not None and g_c is not None:
+        suff = _suffix_sums(m_c)
+        consts = (
+            tuple(l_c) + tuple(suff)
+            + tuple(g_c * l_c[i] * suff[i] for i in range(n))
+            + tuple(m_c)
+            + tuple(1.0 / m_c[i] for i in range(n)),
+        )
+
+    def arrays_fn(dtype):
+        m_ = jnp.asarray(masses).astype(dtype)
+        l_ = jnp.asarray(lengths).astype(dtype)
+        g_ = jnp.asarray(gravity).astype(dtype)
+        suffix = jnp.cumsum(m_[..., ::-1], axis=-1)[..., ::-1]
+        gu = g_[..., None] * l_ * suffix
+        return (jnp.concatenate([l_, suffix, gu, m_, 1.0 / m_], axis=-1),)
+
+    def make(at, fm):
+        # base family against a 3n-prefix view of the 5n table (same layout)
+        fam = base.make(at, fm)
+        l_at = lambda i: at[0](i)              # noqa: E731
+        m_at = lambda i: at[0](3 * n + i)      # noqa: E731  δ by link index
+        im_at = lambda i: at[0](4 * n + i)     # noqa: E731  1/δ
+
+        def factor(aux_v, q):
+            s, c = aux_v[:n], aux_v[n:]
+            # per-link prep (tip-to-base processing order a; link i = n-1-a)
+            idx = [n - 1 - a for a in range(n)]
+            ux = [l_at(i) * c[i] for i in idx]
+            uy = [l_at(i) * s[i] for i in idx]
+            # cross_a = û_{a-1} × û_a = sin(θ_a − θ_{a-1});  σ_a = cross²
+            cross = [None] + [
+                c[idx[a - 1]] * s[idx[a]] - s[idx[a - 1]] * c[idx[a]]
+                for a in range(1, n)
+            ]
+            sig = [None] + [cross[a] * cross[a] for a in range(1, n)]
+            # -- the critical-path chain: homogeneous Möbius pair (p, q) --
+            ps = [None] * n  # p_a, q_a AFTER processing link a
+            qs = [None] * n
+            ps[0] = fm.full(m_at(idx[0]), s[0])  # passes tiles through
+            qs[0] = fm.full(1.0, s[0])
+            for a in range(1, n):
+                da, ida = m_at(idx[a]), im_at(idx[a])
+                ps[a] = ps[a - 1] + da * qs[a - 1]
+                qs[a] = (sig[a] * ida) * ps[a - 1] + qs[a - 1]
+            # -- off-chain reconstruction (independent per link) --
+            zxs, zys, ids = [], [], []
+            for a in range(n):
+                da = m_at(idx[a])
+                if a == 0:
+                    yx = da * ux[0]
+                    yy = da * uy[0]
+                else:
+                    beta = ps[a - 1] / qs[a - 1]
+                    # f̂_{a-1} = rot90(û_{a-1}) = (−s', c');  f̂·ũ_a = l_a·cross_a
+                    bfu = beta * (l_at(idx[a]) * cross[a])
+                    yx = da * ux[a] - bfu * s[idx[a - 1]]
+                    yy = da * uy[a] + bfu * c[idx[a - 1]]
+                d2 = ux[a] * yx + uy[a] * yy
+                inv_d = 1.0 / fm.sqrt(d2)
+                zxs.append(yx * inv_d)
+                zys.append(yy * inv_d)
+                ids.append(inv_d)
+            return tuple(zxs + zys + ids + ux + uy)
+
+        return FamilyFns(
+            fam.aux, fam.k_at, fam.dhdq, fam.potential,
+            (factor, fam.factor_solve[1]),
+        )
+
+    return FusedForms(
+        n=n, n_aux=base.n_aux, coef_lens=(5 * n,), consts=consts,
+        arrays_fn=arrays_fn, make=make, name="serial_chain_mobius",
     )
 
 

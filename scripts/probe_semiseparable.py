@@ -33,7 +33,8 @@ def main(argv=None) -> int:
     ap.add_argument("--group-unroll", type=int, default=1)
     ap.add_argument("--n-links", type=int, default=20)
     ap.add_argument("--solver", default="both",
-                    choices=["both", "dense", "semiseparable", "linv"])
+                    choices=["both", "dense", "semiseparable", "linv",
+                             "mobius"])
     args = ap.parse_args(argv)
 
     import jax

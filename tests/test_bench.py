@@ -28,13 +28,16 @@ class TestArgValidation:
             bench.main(["--drift-every", "10"])  # default spc=50
         assert "--steps-per-call" in capsys.readouterr().err
 
-    def test_drift_every_multiple_passes_parse(self, monkeypatch, capsys):
+    def test_drift_every_multiple_passes_parse(self, monkeypatch, capsys,
+                                               tmp_path):
         # stub every phase: this exercises parse-time validation + the
         # JSON-line assembly, not the device phases
         for name in ("phase_throughput", "phase_margin", "phase_sweep",
+                     "phase_families", "phase_chain40",
                      "phase_double_pendulum", "phase_adaptive",
                      "phase_drift", "phase_cpu_baseline"):
             monkeypatch.setattr(bench, name, lambda args: {})
+        monkeypatch.setattr(bench, "write_full_record", lambda out: None)
         rc = bench.main(["--drift-every", "100", "--steps-per-call", "50"])
         assert rc == 0
         import json
@@ -89,10 +92,13 @@ class TestAcceleratorProbe:
 
     def _stub_phases(self, monkeypatch, seen):
         for name in ("phase_throughput", "phase_margin", "phase_sweep",
+                     "phase_families", "phase_chain40",
                      "phase_double_pendulum", "phase_adaptive",
                      "phase_drift", "phase_cpu_baseline"):
             monkeypatch.setattr(bench, name,
                                 lambda args, _s=seen: _s.append(args) or {})
+        # stub tests must not clobber a real full-precision bench record
+        monkeypatch.setattr(bench, "write_full_record", lambda out: None)
 
     def test_probe_skipped_when_host_pinned(self, monkeypatch, capsys):
         # conftest pins jax_platforms="cpu" in-process, so main must not
@@ -141,3 +147,106 @@ class TestAcceleratorProbe:
 
         monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: R())
         assert bench._probe_accelerator() == "axon"
+
+
+class TestCompactRecord:
+    """The stdout JSON line must survive the driver's ~2000-char output-tail
+    capture (BENCH_r04 was truncated at the front and parsed as null —
+    VERDICT r4 item 1b).  Contract: <= LINE_BUDGET chars, json-clean,
+    headline keys pinned to the very END of the line, full precision in
+    BENCH_full.json."""
+
+    def _full_record(self, n_extra=60):
+        # full-precision floats at round-4 scale: 17-digit reprs were ~35%
+        # of the overflow
+        rec = {
+            "metric": "chain20_ensemble_member_steps_per_sec",
+            "value": 403153633.4953225,
+            "unit": "member-steps/s",
+            "vs_baseline": 14512.229019664325,
+            "method": "leapfrog_fused",
+            "member_steps_per_sec": 403153633.4953225,
+            "throughput_fused_solver": "semiseparable",
+            "throughput_group_unroll": 4,
+            "tpu_max_energy_drift_f32comp": 5.512776345671945e-07,
+            "roofline_error": "RuntimeError: " + "x" * 190,
+            "families_error": "ValueError: " + "y" * 190,
+            "first_chunk_s": 212.4,
+            "anchor21_first_chunk_s": 33.217,
+            "sweep_first_chunk_s": 41.90211,
+            "drift_sampler": "df32",
+            "none_key": None,
+        }
+        for i in range(n_extra):
+            rec[f"extra_datapoint_{i:02d}_member_steps_per_sec"] = (
+                3151787561.069793 / (i + 1)
+            )
+        return rec
+
+    def test_line_fits_budget_and_parses(self):
+        import json
+
+        line = bench.compact_record(self._full_record())
+        assert len(line) <= bench.LINE_BUDGET
+        out = json.loads(line)
+        for k in bench.PINNED_TAIL_KEYS:
+            assert k in out, k
+        # floats rounded to 5 significant digits
+        assert out["value"] == 403150000.0
+        assert out["tpu_max_energy_drift_f32comp"] == 5.5128e-07
+        # Nones dropped; error strings truncated
+        assert "none_key" not in out
+        for k in ("roofline_error", "families_error"):
+            if k in out:
+                assert len(out[k]) <= 90
+
+    def test_pinned_keys_end_the_line(self):
+        line = bench.compact_record(self._full_record())
+        # vs_baseline is the final key: a front-truncated tail still ends
+        # with the full pinned block
+        tail = line[-400:]
+        for k in bench.PINNED_TAIL_KEYS:
+            assert f'"{k}"' in tail, k
+        assert line.rstrip("}").rstrip().endswith(
+            str(bench._round_sig(self._full_record()["vs_baseline"]))
+        )
+
+    def test_survives_simulated_driver_tail(self):
+        import json
+
+        line = bench.compact_record(self._full_record())
+        stdout = "WARNING: platform 'axon' is experimental\n" * 3 + line
+        tail = stdout[-2000:]
+        parsed = json.loads(tail.splitlines()[-1])
+        assert parsed["member_steps_per_sec"] == 403150000.0
+
+    def test_drop_order_prefers_low_value_keys(self):
+        import json
+
+        rec = self._full_record(n_extra=200)  # force dropping
+        line = bench.compact_record(rec)
+        assert len(line) <= bench.LINE_BUDGET
+        out = json.loads(line)
+        assert out["omitted_keys"] > 0
+        # timing plumbing drops before datapoints
+        assert "first_chunk_s" not in out
+        assert "sweep_first_chunk_s" not in out
+        for k in bench.PINNED_TAIL_KEYS:
+            assert k in out, k
+
+    def test_round_sig_edge_cases(self):
+        assert bench._round_sig(0.0) == 0.0
+        assert bench._round_sig(float("inf")) == float("inf")
+        assert bench._round_sig(123456789.0) == 123460000.0
+        assert bench._round_sig(1.2345678e-7) == 1.2346e-7
+        assert bench._round_sig("string") == "string"
+        assert bench._round_sig(42) == 42
+
+    def test_write_full_record(self, tmp_path):
+        import json
+
+        rec = self._full_record()
+        del rec["none_key"]
+        path = tmp_path / "full.json"
+        bench.write_full_record(rec, path=str(path))
+        assert json.loads(path.read_text())["value"] == rec["value"]

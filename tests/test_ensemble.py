@@ -382,6 +382,24 @@ class TestChunked:
         np.testing.assert_array_equal(np.asarray(f_full.p), np.asarray(f_res.p))
         np.testing.assert_array_equal(np.asarray(d_full), np.asarray(d_res))
 
+    def test_chunked_legacy_3arg_carry_callback(self):
+        """Round-3 carry callbacks took (ci, carry, drift); they keep
+        working for one release — the chunked driver detects the arity and
+        omits the round-4 observable argument (ADVICE r4)."""
+        from hamilton_tpu.ensemble import evolve_ensemble_chunked
+
+        ph = make_batch(4)
+        seen = []
+
+        def legacy_cb(ci, carry, drift):
+            seen.append(ci)
+
+        evolve_ensemble_chunked(
+            DP.system, ph, 1e-3, 20, chunk_steps=10, method="leapfrog",
+            iters=(2, 0), drift_every=5, carry_callback=legacy_cb,
+        )
+        assert seen == [0, 1]
+
     def test_chunked_resume_preserves_observable(self):
         """The streaming-observable accumulator is checkpointable state:
         ``carry_callback`` receives it (4th argument) and ``initial_obs``

@@ -334,8 +334,10 @@ class TestDF32:
         with pytest.raises(ValueError, match="unknown drift_dtype"):
             evolve_ensemble_final(ex.system, ph, 1e-3, 10,
                                   drift_dtype="f128", drift_every=10)
+        # a k=1 bezier (single control point) is genuinely forms-less —
+        # the default bezier gained fused_forms in round 4
         with pytest.raises(ValueError, match="no fused_forms"):
-            fused_measure_h(bezier().system)
+            fused_measure_h(bezier(points=[(0.0, 0.0)]).system)
 
 
 class TestRoofline:

@@ -545,24 +545,47 @@ def phase_sweep(args):
     }
 
 
-def phase_families(args):
-    """Non-chain fused-family datapoints (VERDICT r3 item 1 'done'
-    criterion): spherical pendulum and two-body Kepler through their
-    declarative ``FusedForms`` (models/spherical.py, models/two_body.py) at
-    the ensemble batch, vs the generic tile path on the same config — the
-    fused:tile throughput ratio is the point (the ~10× cliff the fused
-    family removes for models outside the chain).
+# Per-family calibrated dt for the <1e-6 drift bound at the t=100 horizon
+# (VERDICT r4 item 3): the drift level is dt² truncation (precision-
+# independent, docs/design.md round-3), so each family gets the dt the
+# full-horizon host calibration chose with ≥2× margin
+# (scripts/calibrate_family_dt.py; measured values in docs/performance.md).
+# The bench runs each family's fused kernel at ITS dt over the SAME t=100
+# simulated horizon and reports the on-TPU drift.
+FAMILY_DT = {
+    "spherical": 2.5e-4,  # host 1e-3: 3.3e-6, 5e-4: 1.1e-6, 2.5e-4: 5.2e-7
+    "twobody": 2.5e-4,    # f32 floor — see TWOBODY_DRIFT_NOTE
+    "spring": 1e-3,       # host 1e-3: 4.6e-7 (already 2.2x margin)
+    "room": 2.5e-4,       # host 1e-3: 5.1e-6, 2.5e-4: 5.7e-7
+}
 
-    The tile-path reference runs a short horizon (its per-step cost is what
-    is being measured; drift belongs to the fused full-horizon run).
+# Two-body Kepler does NOT reach <1e-6 in plain f32: the drift is
+# precision-limited, not dt²-limited — the host calibration plateaus at
+# ~1.5-1.7e-6 for dt ≤ 2.5e-4 (jittered/eccentric members; iteration
+# schedule irrelevant), while the SAME config in f64 measures 3.7e-7
+# (truncation) and a circular f32 ensemble holds 7.0e-7.  Eccentric
+# members' pericenter passes amplify f32 state rounding of (r, p_r); the
+# bound needs f64 or the adaptive path there (docs/performance.md).  The
+# bench emits this note next to the datapoint so the >1e-6 value reads as
+# the measured f32 floor, not a failed target.
+TWOBODY_DRIFT_NOTE = "f32 floor (eccentric Kepler); f64@same dt: 3.7e-7"
+
+
+def phase_families(args):
+    """Non-chain fused-family datapoints: four families through their
+    declarative ``FusedForms`` at the ensemble batch, each at its
+    CALIBRATED dt (:data:`FAMILY_DT`) over the full t=100 horizon with
+    on-device df32 drift — plus the fused:tile throughput ratio for
+    spherical/two-body (the ~10× cliff the fused family removes for models
+    outside the chain; the tile-path reference runs a short horizon since
+    its per-step cost is what is being measured).
     """
     from hamilton_tpu.ensemble import evolve_ensemble_final
-    from hamilton_tpu.models import spherical_pendulum, two_body
+    from hamilton_tpu.models import room, spherical_pendulum, spring, two_body
     from hamilton_tpu.state import Phase
 
     out = {}
-    steps_f = min(args.steps, 20_000)
-    steps_t = 2_000 if args.steps >= 20_000 else max(args.steps // 5, 100)
+    horizon_t = min(args.steps, 100_000) * 1e-3  # the chain phases' t=100
     rng = np.random.default_rng(11)
 
     def build_phase(ex, scale):
@@ -577,10 +600,10 @@ def phase_families(args):
         p = np.broadcast_to(np.asarray(ph0.p, np.float32), (args.batch, n))
         return Phase(jnp.asarray(q, jnp.float32), jnp.asarray(p.copy()))
 
-    def timed_run(system, ph, method, iters, n_steps, spc):
+    def timed_run(system, ph, method, iters, dt, n_steps, spc):
         with jax.enable_x64(True):
             final, drift = evolve_ensemble_final(
-                system, ph, 1e-3, n_steps, method=method, iters=iters,
+                system, ph, dt, n_steps, method=method, iters=iters,
                 compensated=True, drift_every=n_steps,
                 drift_dtype="df32" if method == "leapfrog_fused" else None,
                 steps_per_call=spc,
@@ -589,7 +612,7 @@ def phase_families(args):
             ph2 = Phase(ph.q + 1e-6, ph.p)  # distinct value: no memoized hit
             t0 = time.perf_counter()
             final, drift = evolve_ensemble_final(
-                system, ph2, 1e-3, n_steps, method=method, iters=iters,
+                system, ph2, dt, n_steps, method=method, iters=iters,
                 compensated=True, drift_every=n_steps,
                 drift_dtype="df32" if method == "leapfrog_fused" else None,
                 steps_per_call=spc,
@@ -599,22 +622,38 @@ def phase_families(args):
         rate = ph.q.shape[0] * n_steps / el
         return rate, (float(jnp.max(drift)) if drift is not None else None)
 
-    for name, ex, scale in (
-        ("spherical", spherical_pendulum(), 0.05),
-        ("twobody", two_body(), 0.02),
+    for name, ex, scale, ratio in (
+        ("spherical", spherical_pendulum(), 0.05, True),
+        ("twobody", two_body(), 0.02, True),
+        ("spring", spring(), 0.02, False),
+        ("room", room(), 0.05, False),
     ):
-        sys32 = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.float32), ex.system
-        )
-        ph = build_phase(ex, scale)
-        fused, drift = timed_run(sys32, ph, "leapfrog_fused", args.iters,
-                                 steps_f, args.steps_per_call)
-        tile, _ = timed_run(sys32, ph, "leapfrog", args.iters, steps_t, 1)
-        out[f"{name}_fused_member_steps_per_sec"] = fused
-        out[f"{name}_tile_member_steps_per_sec"] = tile
-        out[f"{name}_fused_vs_tile"] = round(fused / tile, 1)
-        if drift is not None:
-            out[f"{name}_fused_max_drift"] = drift
+        try:
+            sys32 = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), ex.system
+            )
+            ph = build_phase(ex, scale)
+            dt = FAMILY_DT[name]
+            steps_f = max(int(round(horizon_t / dt)), args.steps_per_call)
+            steps_f = (steps_f // args.steps_per_call) * args.steps_per_call
+            fused, drift = timed_run(sys32, ph, "leapfrog_fused", args.iters,
+                                     dt, steps_f, args.steps_per_call)
+            out[f"{name}_fused_member_steps_per_sec"] = fused
+            out[f"{name}_dt"] = dt
+            if drift is not None:
+                out[f"{name}_fused_max_drift"] = drift
+            if name == "twobody":
+                # >1e-6 here is the measured f32 floor, not a failed
+                # target — see FAMILY_DT/TWOBODY_DRIFT_NOTE above
+                out["twobody_drift_note"] = TWOBODY_DRIFT_NOTE
+            if ratio:
+                steps_t = max(min(steps_f // 10, 2_000), 100)
+                tile, _ = timed_run(sys32, ph, "leapfrog", args.iters, dt,
+                                    steps_t, 1)
+                out[f"{name}_tile_member_steps_per_sec"] = tile
+                out[f"{name}_fused_vs_tile"] = round(fused / tile, 1)
+        except Exception as e:  # pragma: no cover — per-family tolerance
+            out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:120]
     return out
 
 

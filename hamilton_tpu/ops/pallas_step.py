@@ -240,6 +240,17 @@ class FamilyFns(NamedTuple):
         arithmetic as the other callables.  When None the kernel runs the
         O(n³) dense path on ``k_at``.  (Used by the O(n) semiseparable
         serial-chain solver, :func:`serial_chain_forms_on`.)
+    ``aux_shift``
+        Optional ``aux_shift(aux, dq) -> aux'``: the aux tuple at ``q + dq``
+        by FIRST-ORDER expansion from the aux at ``q`` (e.g. the trig
+        rotation ``s' = s + dq·c``, ``c' = c − dq·s``).  The kernel uses it
+        ONLY for the within-step refinement re-evaluations, where
+        ``|dq| = O(dt²·q̈)`` makes the truncation error ``dq²/2 ≲ 1e-12`` —
+        far below f32 resolution, so results are exact at working precision
+        while each use replaces ``n_aux`` transcendentals with ~2·n_aux
+        mul/adds.  The per-step BASE aux is always a fresh transcendental
+        evaluation (no error accumulation across steps).  When None every
+        aux evaluation calls ``aux``.
     """
 
     aux: Callable[..., tuple]
@@ -247,6 +258,7 @@ class FamilyFns(NamedTuple):
     dhdq: Callable[..., list]
     potential: Optional[Callable[..., Any]] = None
     factor_solve: Optional[Tuple[Callable[..., tuple], Callable[..., list]]] = None
+    aux_shift: Optional[Callable[..., tuple]] = None
 
 
 @dataclass(frozen=True)
@@ -428,6 +440,25 @@ def fused_stepper(
             q1 = [q0[i] + dt * v0[i] + (dt * half) * vdot_est[i]
                   for i in range(n)]  # warm predictor
             v_last = v0
+            # within-step aux re-evaluations sit O(dt²·q̈) from the last
+            # fresh evaluation — when the family provides aux_shift, derive
+            # them by first-order expansion (replaces n_aux transcendentals
+            # per re-evaluation, ~40% of the kernel's per-step
+            # transcendental budget at (2,0)).  f32 ONLY: the shift's
+            # dq²/2 ≈ 1e-12 truncation is far below f32 resolution but
+            # visible at f64, where the kernel's value is exact parity,
+            # not throughput.
+            shift = fam.aux_shift
+            if shift is not None and jnp.result_type(q0[0]) != jnp.float32:
+                shift = None
+
+            def aux_at(q_new, q_base, aux_base):
+                if shift is None:
+                    return aux_fn(q_new)
+                return shift(
+                    aux_base, [q_new[i] - q_base[i] for i in range(n)]
+                )
+
             if iters_q == 0:
                 # predictor-factor placement (cf. fixed.py Gauss-Seidel
                 # mode): one factor at the O(dt²) predictor serves the
@@ -435,19 +466,25 @@ def fused_stepper(
                 aux1 = aux_fn(q1)
                 ent1 = factor_fn(aux1, q1)
                 v_last = solve_fn(ent1, ph)
-                q1 = [q0[i] + half * (v0[i] + v_last[i]) for i in range(n)]
+                q1p, q1 = q1, [
+                    q0[i] + half * (v0[i] + v_last[i]) for i in range(n)
+                ]
                 # force at the refined q1 with the predictor factor velocity
-                aux1r = aux_fn(q1)
+                aux1r = aux_at(q1, q1p, aux1)
                 b = dhdq(aux1r, q1, v_last)
                 fac1 = (tuple(ent1), tuple(aux1r))
             else:
+                q1p, aux1 = None, None
                 for _ in range(iters_q):
-                    aux1 = aux_fn(q1)
+                    aux1 = aux_fn(q1) if aux1 is None else aux_at(
+                        q1, q1p, aux1
+                    )
+                    q1p = q1
                     ent1 = factor_fn(aux1, q1)
                     v_last = solve_fn(ent1, ph)
                     q1 = [q0[i] + half * (v0[i] + v_last[i]) for i in range(n)]
                 # exact end-of-step factor at the converged q1
-                aux1 = aux_fn(q1)
+                aux1 = aux_at(q1, q1p, aux1)
                 ent1 = factor_fn(aux1, q1)
                 w1 = solve_fn(ent1, ph)
                 b = dhdq(aux1, q1, w1)
@@ -928,12 +965,27 @@ def serial_chain_forms(masses, lengths, gravity) -> FusedForms:
                 u = u + gu_at(i) * (1.0 - c[i])
             return u
 
-        return FamilyFns(aux, k_at, dhdq, potential)
+        return FamilyFns(aux, k_at, dhdq, potential,
+                         aux_shift=_trig_aux_shift(n))
 
     return FusedForms(
         n=n, n_aux=2 * n, coef_lens=(n * n, n), consts=consts,
         arrays_fn=arrays_fn, make=make, name="serial_chain",
     )
+
+
+def _trig_aux_shift(n):
+    """First-order rotation of an (n sin, n cos) aux tuple: ``s' = s+dq·c``,
+    ``c' = c−dq·s`` — exact to ``dq²/2`` (≪ f32 eps for the kernel's
+    within-step ``|dq| = O(dt²·q̈)`` uses; see ``FamilyFns.aux_shift``)."""
+
+    def aux_shift(aux_v, dq):
+        s, c = aux_v[:n], aux_v[n:]
+        return tuple(s[i] + dq[i] * c[i] for i in range(n)) + tuple(
+            c[i] - dq[i] * s[i] for i in range(n)
+        )
+
+    return aux_shift
 
 
 def serial_chain_forms_on(masses, lengths, gravity) -> FusedForms:
@@ -1130,7 +1182,8 @@ def serial_chain_forms_on(masses, lengths, gravity) -> FusedForms:
                 u = u + gu_at(i) * (1.0 - c[i])
             return u
 
-        return FamilyFns(aux, k_at, dhdq, potential, (factor, solve))
+        return FamilyFns(aux, k_at, dhdq, potential, (factor, solve),
+                         aux_shift=_trig_aux_shift(n))
 
     return FusedForms(
         n=n, n_aux=2 * n, coef_lens=(3 * n,), consts=consts,
@@ -1249,7 +1302,7 @@ def serial_chain_forms_mobius(masses, lengths, gravity) -> FusedForms:
 
         return FamilyFns(
             fam.aux, fam.k_at, fam.dhdq, fam.potential,
-            (factor, fam.factor_solve[1]),
+            (factor, fam.factor_solve[1]), aux_shift=fam.aux_shift,
         )
 
     return FusedForms(
@@ -1353,7 +1406,8 @@ def serial_chain_forms_linv(masses, lengths, gravity):
             return [xt[n - 1 - j] for j in range(n)]
 
         return FamilyFns(
-            fam.aux, fam.k_at, fam.dhdq, fam.potential, (factor, solve)
+            fam.aux, fam.k_at, fam.dhdq, fam.potential, (factor, solve),
+            aux_shift=fam.aux_shift,
         )
 
     return FusedForms(

@@ -983,7 +983,8 @@ class TestGroupUnroll:
         return Phase(jnp.asarray(0.5 + 0.01 * rng.standard_normal((b, n))),
                      jnp.asarray(0.01 * rng.standard_normal((b, n))))
 
-    @pytest.mark.parametrize("solver", ["dense", "semiseparable", "linv"])
+    @pytest.mark.parametrize("solver", ["dense", "semiseparable", "linv",
+                                        "mobius"])
     def test_bitwise_vs_unit(self, solver):
         ex = chain(n_links=4, fused_solver=solver)
         ph = self._ph(2048)
@@ -1030,3 +1031,101 @@ class TestGroupUnroll:
             st.init(self._ph(1024))  # not a multiple of 1024·2
         with pytest.raises(ValueError, match="group_unroll"):
             make_stepper(ex.system, "leapfrog", group_unroll=2)
+
+
+class TestMobiusSolver:
+    """``serial_chain_forms_mobius``: the semiseparable factorization with
+    its Riccati recursion collapsed to a scalar Möbius chain (homogeneous
+    (p, q) pair — division/sqrt-free critical path).  Same factor in real
+    arithmetic; entries/solves match the base family to f64 rounding."""
+
+    def test_factor_matches_semiseparable(self):
+        from hamilton_tpu.ops.pallas_step import (
+            FM_JNP, serial_chain_forms_mobius, serial_chain_forms_on,
+        )
+
+        n, Bn = 20, 16
+        rng = np.random.default_rng(7)
+        m = list(0.3 + rng.random(n))
+        l = list(0.4 + rng.random(n))
+        fon = serial_chain_forms_on(m, l, 5.0)
+        fmb = serial_chain_forms_mobius(m, l, 5.0)
+        fam_on = fon.make(fon.const_accessors(), FM_JNP)
+        fam_mb = fmb.make(fmb.const_accessors(), FM_JNP)
+        q = [jnp.asarray(rng.uniform(-3, 3, Bn)) for _ in range(n)]
+        b = [jnp.asarray(rng.standard_normal(Bn)) for _ in range(n)]
+        aux_on, aux_mb = fam_on.aux(q), fam_mb.aux(q)
+        ent_on = fam_on.factor_solve[0](aux_on, q)
+        ent_mb = fam_mb.factor_solve[0](aux_mb, q)
+        assert len(ent_on) == len(ent_mb) == 5 * n
+        for a, bb in zip(ent_on, ent_mb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=0, atol=1e-12)
+        x_on = fam_on.factor_solve[1](ent_on, b)
+        x_mb = fam_mb.factor_solve[1](ent_mb, b)
+        for a, bb in zip(x_on, x_mb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=0, atol=1e-11)
+
+    def test_sweep_table_layout(self):
+        """The 5n coefficient table (l, S, g·l·S, m, 1/m) materializes for
+        batched params and its 3n prefix matches the base family's."""
+        from hamilton_tpu.ops.pallas_step import (
+            serial_chain_forms_mobius, serial_chain_forms_on,
+        )
+
+        rng = np.random.default_rng(8)
+        m = jnp.asarray(0.5 + rng.random((6, 4)))
+        l = jnp.asarray(0.5 + rng.random((6, 4)))
+        g = jnp.asarray(4.0 + rng.random(6))
+        fon = serial_chain_forms_on(m, l, g)
+        fmb = serial_chain_forms_mobius(m, l, g)
+        assert fmb.consts is None and fmb.coef_lens == (20,)
+        (t_on,) = fon.arrays_fn(jnp.float64)
+        (t_mb,) = fmb.arrays_fn(jnp.float64)
+        np.testing.assert_allclose(np.asarray(t_mb[..., :12]),
+                                   np.asarray(t_on), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(t_mb[..., 12:16]),
+                                   np.asarray(m), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(t_mb[..., 16:]),
+                                   np.asarray(1.0 / m), rtol=0, atol=1e-16)
+
+
+class TestAuxShift:
+    """First-order within-step aux re-evaluation (``FamilyFns.aux_shift``):
+    f32 kernels replace refinement transcendentals with mul/adds; f64
+    kernels keep fresh evaluations (the shift's dq²/2 truncation is below
+    f32 resolution but visible at f64 — the dtype gate in ``increments``)."""
+
+    def test_trig_shift_first_order_exact(self):
+        from hamilton_tpu.ops.pallas_step import _trig_aux_shift
+
+        n = 5
+        rng = np.random.default_rng(3)
+        q = rng.uniform(-3, 3, n)
+        dq = 1e-6 * rng.uniform(-1.0, 1.0, n)
+        aux = tuple(jnp.asarray(np.sin(q[i])) for i in range(n)) + tuple(
+            jnp.asarray(np.cos(q[i])) for i in range(n)
+        )
+        shifted = _trig_aux_shift(n)(aux, [jnp.asarray(d) for d in dq])
+        for i in range(n):
+            # first-order truncation: |err| <= dq²/2 = 5e-13 at |dq|<=1e-6
+            assert abs(float(shifted[i]) - np.sin(q[i] + dq[i])) < 1e-12
+            assert abs(float(shifted[n + i]) - np.cos(q[i] + dq[i])) < 1e-12
+
+    def test_dtype_gate_in_kernel_costs(self):
+        """The f32 kernel's jaxpr carries ~one fresh aux eval per step at
+        (2,0) (61 transcendentals at chain-20); the f64 kernel keeps two
+        (101) — the gate, measured where it matters."""
+        from hamilton_tpu.models import chain
+        from hamilton_tpu.utils.roofline import fused_step_cost
+
+        ex = chain(n_links=20, fused_solver="semiseparable")
+        sys32 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), ex.system
+        )
+        c32 = fused_step_cost(sys32, iters=(2, 0), steps_per_call=50)
+        c64 = fused_step_cost(ex.system, iters=(2, 0), steps_per_call=50,
+                              dtype=jnp.float64)
+        assert c32["transcendentals_per_member_step"] < 70
+        assert c64["transcendentals_per_member_step"] > 90

@@ -672,6 +672,12 @@ def phase_chain40(args):
     n_steps = (steps // chunk_steps) * chunk_steps
     out = {}
 
+    # steps_per_call=10 at n=40: the unrolled whole-step program at spc=50
+    # reaches ~7 MB of MLIR and the remote compile helper is OOM-killed
+    # (SIGKILL); spc=10 keeps the program ~5x smaller while still
+    # amortizing the factor carry
+    spc = min(args.steps_per_call, 10)
+
     def run(solver, gu):
         with jax.enable_x64(True):
             system, ph = _build(args.batch, jnp.float32, n_links=40,
@@ -679,7 +685,7 @@ def phase_chain40(args):
             return _timed_chunked_run(
                 args, system, ph, method="leapfrog_fused", iters=args.iters,
                 dt=args.dt, n_steps=n_steps, chunk_steps=chunk_steps,
-                steps_per_call=args.steps_per_call, group_unroll=gu,
+                steps_per_call=spc, group_unroll=gu,
             )
 
     semi = None

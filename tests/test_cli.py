@@ -101,6 +101,7 @@ class TestHeadless:
         assert out.returncode == 0, out.stderr
         assert "[ Double pendulum ]" in out.stdout
 
+    @pytest.mark.slow
     def test_dt_honored_at_any_rate(self):
         """With --dt given, the substep size must track the actual frame
         advance rate/FPS — including after interactive rate changes — not a

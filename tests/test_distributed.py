@@ -27,6 +27,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_global_mesh():
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")

@@ -133,6 +133,7 @@ class TestEnsemble:
 
 
 class TestSharded:
+    @pytest.mark.slow
     def test_sharded_params_sweep_matches_unsharded(self, devices8):
         """Batched params shard along the ensemble mesh axis: the sharded
         sweep must equal the unsharded sweep bitwise-closely."""
@@ -282,6 +283,7 @@ class TestDistributedHooks:
         sl = local_batch_slice(64)
         assert (sl.stop - sl.start) * jax.process_count() == 64
 
+    @pytest.mark.slow
     def test_sharded_evolution_over_global_mesh(self, devices8):
         from hamilton_tpu.ensemble import evolve_ensemble_sharded
         from hamilton_tpu.models import chain
@@ -452,6 +454,7 @@ class TestStreamingObservables:
         ph = Phase(jnp.asarray(q0), jnp.zeros((b, 2)))
         return LyapunovPairs(d0=1e-7), LyapunovPairs.pair_ensemble(ph, 1e-7)
 
+    @pytest.mark.slow
     def test_lyapunov_separates_chaotic_from_regular(self):
         """Benettin pairs in-loop: chaotic double-pendulum ICs measure
         λ ≈ 0.5–0.9, regular small-angle ICs λ ≈ 0 — with renormalization
@@ -498,6 +501,7 @@ class TestStreamingObservables:
             rtol=0, atol=1e-7,
         )
 
+    @pytest.mark.slow
     def test_sharded_matches_unsharded(self, devices8):
         """Interleaved pairs keep both members on one shard (even shard
         size), so the transforming observable runs unchanged under

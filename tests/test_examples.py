@@ -445,6 +445,7 @@ def _load_example(name):
 
 
 class TestExampleScripts:
+    @pytest.mark.slow
     def test_recovers_masses_library_path(self):
         """examples/fit_masses.py end-to-end (library leapfrog, CPU): the
         trajectory-misfit gradient through the symplectic scan recovers the
@@ -472,6 +473,7 @@ class TestExampleScripts:
         assert _load_example("chaos_scan").main(
             ["--cols", "24", "--rows", "8", "--steps", "2000"]) == 0
 
+    @pytest.mark.slow
     def test_elastic_pendulum_example(self):
         """examples/elastic_pendulum.py: a USER-DEFINED system (not in the
         model zoo) joins the fused-kernel family through the public

@@ -50,6 +50,7 @@ class TestGradThroughTrajectory:
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.any(np.asarray(g) != 0)
 
+    @pytest.mark.slow
     def test_remat_matches_no_remat(self):
         ph0 = DP.init_phase
         g1 = jax.grad(lambda q: _final_q0(Phase(q, ph0.p)))(ph0.q)

@@ -276,6 +276,7 @@ class TestFusedStep:
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                    rtol=0, atol=1e-13)
 
+    @pytest.mark.slow
     def test_trajectory_driver_steps_per_call(self, ph4):
         """evolve_ensemble (trajectory emission) runs fused multi-step
         blocks between emissions: steps_per_call=5 with emit_every=10 ≡ the
@@ -300,6 +301,7 @@ class TestFusedStep:
                             method="leapfrog_fused", iters=(3, 1),
                             emit_every=10, steps_per_call=4)
 
+    @pytest.mark.slow
     def test_yoshida4_fused_matches_library(self, ph4):
         """Triple-jump composition of the fused step ≡ library yoshida4.
 
@@ -463,6 +465,7 @@ class TestFusedStep:
         np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_l),
                                    rtol=1e-9, atol=1e-12)
 
+    @pytest.mark.slow
     def test_grad_yoshida4_fused(self, ph4):
         """The 4th-order composition differentiates through the same replay
         (sign-alternating substeps included)."""
@@ -642,6 +645,7 @@ class TestFusedFamilies:
 
 
 class TestSuzuki4:
+    @pytest.mark.slow
     def test_suzuki4_fused_matches_library_composition(self, ph4):
         """The Suzuki 5-stage composition through the fused kernel ≡ the
         same composition of library leapfrog substeps (both in the exact
@@ -836,6 +840,7 @@ class TestSemiseparableChain:
         np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
         np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b.p))
 
+    @pytest.mark.slow
     def test_grad_matches_library(self):
         """The exact-replay VJP differentiates through the O(n) recursion
         (sqrt/div chains) — gradient ≡ library leapfrog gradient."""
@@ -921,6 +926,7 @@ class TestLinvSolver:
         xon = np.stack([np.asarray(xi) for xi in x], -1)
         np.testing.assert_allclose(xon, xref, rtol=0, atol=1e-11)
 
+    @pytest.mark.slow
     def test_fused_matches_library(self):
         """Kernel path (interpreter, f64): linv fused ≡ library leapfrog
         at 1e-12 over 2 steps, including the steps_per_call factor carry
@@ -946,6 +952,7 @@ class TestLinvSolver:
         np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p),
                                    rtol=0, atol=1e-12)
 
+    @pytest.mark.slow
     def test_param_sweep_matches_library(self):
         """Runtime-operand mode: per-member (m, l, g) sweeps ride the
         same 3n coefficient table as the semiseparable family."""

@@ -73,6 +73,12 @@ import time
 # the experimental-platform WARNING would otherwise land in the driver's
 # 2000-char stdout/stderr tail capture, eating the JSON line's budget
 logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
+import warnings
+
+# same reason: these two jnp-reduction warnings are ~900 bytes of stderr
+warnings.filterwarnings(
+    "ignore", message="Explicitly requested dtype float64"
+)
 
 import jax
 import jax.numpy as jnp
@@ -106,23 +112,43 @@ PINNED_TAIL_KEYS = (
     "vs_baseline",
 )
 
-# substring classes dropped first when over budget, least important first
+# drop-first classes (least important first).  Count/plumbing fields are
+# matched by SUFFIX — a substring "_steps" test would also match every
+# "*_member_steps_per_sec" rate (the round-5 bug this replaced).
 DROP_CLASSES = (
-    "first_chunk_s",
-    "elapsed_steady_s",
-    "steady_chunks",
-    "chunk_steps",
-    "drift_sampler",
-    "_platform",
-    "platform",
-    "_steps",
-    "_dt",
-    "_batch",
-    "_method",
-    "_iters",
-    "method",
+    lambda k: "first_chunk_s" in k,
+    lambda k: "elapsed_steady_s" in k,
+    lambda k: "steady_chunks" in k,
+    lambda k: "drift_sampler" in k,
+    lambda k: "platform" in k,
+    lambda k: "tile_member_steps" in k,  # the fused:tile RATIO survives
+    lambda k: k.endswith("_steps") or k == "steps",
+    lambda k: k.endswith("_batch") or k == "batch" or k.endswith("_b"),
+    lambda k: k.endswith("_method") or k == "method",
+    lambda k: k.endswith("_iters"),
+    lambda k: k.endswith("_per_call"),
 )
-LINE_BUDGET = 1750  # leaves headroom for stray log lines inside 2000 chars
+
+# never dropped while any unprotected key remains: the measured datapoints
+# the round verdicts key on (rates, drifts, ratios, calibrated dts, notes)
+PROTECTED_SUBSTRINGS = (
+    "member_steps_per_sec",
+    "single_steps_per_sec",
+    "single_s",
+    "traj_per_sec",
+    "max_drift",
+    "max_energy_drift",
+    "_vs_",
+    "_dt",
+    "drift_note",
+    "parity",
+    "_error",
+    "skipped",
+    "clamped",
+    "group_unroll",
+    "fused_solver",
+)
+LINE_BUDGET = 1900  # the driver keeps the LAST ~2000 chars of output
 
 
 def _round_sig(v, sig=5):
@@ -147,12 +173,18 @@ def compact_record(out, limit=LINE_BUDGET):
     rest = [k for k in rec if k not in PINNED_TAIL_KEYS]
 
     def drop_rank(k):
-        for i, pat in enumerate(DROP_CLASSES):
-            if pat in k:
-                return i
-        return len(DROP_CLASSES)
+        # plumbing classes drop first; generic payload next; PROTECTED
+        # datapoints only as a last resort (a DROP_CLASS match overrides
+        # protection — e.g. tile rates despite containing
+        # "member_steps_per_sec")
+        for i, cls in enumerate(DROP_CLASSES):
+            if cls(k):
+                return (0, i)
+        if any(p in k for p in PROTECTED_SUBSTRINGS):
+            return (2, 0)
+        return (1, 0)
 
-    # within a class, drop the longest entries first
+    # within a rank, drop the longest entries first
     drop_order = sorted(
         rest, key=lambda k: (drop_rank(k), -len(json.dumps({k: rec[k]})))
     )
@@ -801,10 +833,13 @@ def phase_adaptive(args):
             # journal's strongest adaptive results (B=16384 shared
             # controller: 171.7 traj/s f64 = 450× host-serial; 791/s f32 at
             # eps=1e-6) lived only in prose — put them in the artifact.
-            # Budget-guard by projecting from the measured b_scale rate.
+            # Budget-guard by projecting from the measured b_scale rate;
+            # scaling is SUBLINEAR in batch (r4 measured 4.1× better than
+            # linear from B=1024 to 16384 — wider batches amortize the
+            # lock-step controller), so project at /3 conservatively.
             b16 = max(args.batch, 4096)
-            projected = out["adaptive_tpu_batched_s"] * (b16 / b_scale)
-            if projected < 400.0:
+            projected = out["adaptive_tpu_batched_s"] * (b16 / b_scale) / 3.0
+            if projected < 480.0:
                 try:
                     system16, ph16 = _build(b16, jnp.float64)
                     timed("adaptive_batched16k_f64_s", None, evolve_ham,

@@ -250,3 +250,38 @@ class TestCompactRecord:
         path = tmp_path / "full.json"
         bench.write_full_record(rec, path=str(path))
         assert json.loads(path.read_text())["value"] == rec["value"]
+
+
+class TestCompactRecordRealFixture:
+    """Regression against the committed round-5 full record: every
+    rate/drift/ratio/calibrated-dt datapoint must survive compaction (the
+    first cut dropped sweep/chain40/family rates because a substring
+    '_steps' drop-class also matched '*_member_steps_per_sec')."""
+
+    def test_protected_datapoints_survive(self):
+        import json
+
+        path = os.path.join(REPO, "BENCH_full.json")
+        if not os.path.exists(path):
+            pytest.skip("no committed BENCH_full.json")
+        full = json.load(open(path))
+        line = bench.compact_record(full)
+        assert len(line) <= bench.LINE_BUDGET
+        d = json.loads(line)
+        for k in full:
+            protected = any(
+                p in k for p in bench.PROTECTED_SUBSTRINGS
+            ) and not any(cls(k) for cls in bench.DROP_CLASSES)
+            if protected:
+                assert k in d, f"protected datapoint dropped: {k}"
+        # spot-check the verdict-relevant keys by name
+        for k in ("sweep_member_steps_per_sec",
+                  "chain40_semiseparable_member_steps_per_sec",
+                  "chain40_semi_vs_dense",
+                  "spherical_fused_max_drift", "spherical_dt",
+                  "twobody_drift_note",
+                  "dp_member_steps_per_sec",
+                  "adaptive_batched_traj_per_sec",
+                  "native_single_steps_per_sec"):
+            if k in full:
+                assert k in d, k

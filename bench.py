@@ -1025,10 +1025,19 @@ def phase_double_pendulum(args):
         jax.block_until_ready(run(ph, n))
         out["dp_method"] = "leapfrog"
     jax.block_until_ready(run(ph, n))  # first-execution warmup (see above)
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(ph, n))
-    el = time.perf_counter() - t0
-    out["dp_member_steps_per_sec"] = args.batch * n / el
+    # single 10k-step dispatches carry ~25 ms relay overhead + timing
+    # jitter (r4 recorded 3.15e9, r5 1.92e9 on identical code) — time
+    # three dispatches on DISTINCT operand values (identical re-dispatches
+    # return memoized through the relay) and report the best
+    best = None
+    for rep in range(3):
+        ph_r = Phase(ph.q + 1e-6 * (rep + 1), ph.p)
+        t0 = time.perf_counter()
+        res = run(ph_r, n)
+        float(res.q[0, 0])  # host transfer: the only real sync (relay)
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    out["dp_member_steps_per_sec"] = args.batch * n / best
 
     # full-horizon f64 drift on the host (north-star correctness bound)
     cpu = jax.devices("cpu")[0]

@@ -153,7 +153,11 @@ LINE_BUDGET = 1900  # the driver keeps the LAST ~2000 chars of output
 
 def _round_sig(v, sig=5):
     if isinstance(v, float):
-        if v == 0.0 or not math.isfinite(v):
+        if not math.isfinite(v):
+            # bare NaN/Infinity is invalid JSON to strict parsers — a
+            # diverged run must not cost the driver the whole artifact
+            return str(v)
+        if v == 0.0:
             return v
         return float(f"{v:.{sig}g}")
     return v
@@ -389,8 +393,16 @@ def phase_throughput(args):
         "throughput_method": method,
         "throughput_iters": str(iters),
         "throughput_steps_per_call": spc,
-        "throughput_fused_solver": args.fused_solver,
-        "throughput_group_unroll": args.group_unroll,
+        # solver/unroll reflect the run that was MEASURED: these two are
+        # pinned tail keys that outlive the (droppable) throughput_method,
+        # so on a library fallback they must not advertise the fused config
+        "throughput_fused_solver": (
+            args.fused_solver if method.endswith("_fused")
+            else "library-fallback"
+        ),
+        "throughput_group_unroll": (
+            args.group_unroll if method.endswith("_fused") else 1
+        ),
         "elapsed_steady_s": r["elapsed_steady_s"],
         "steady_chunks": r["steady_chunks"],
         "chunk_steps": chunk_steps,
@@ -617,7 +629,10 @@ def phase_families(args):
     from hamilton_tpu.state import Phase
 
     out = {}
-    horizon_t = min(args.steps, 100_000) * 1e-3  # the chain phases' t=100
+    # the SAME simulated horizon as the chain phases (steps × dt; t=100 at
+    # the defaults) — a hardcoded 1e-3 conversion would silently decouple
+    # the family horizon from --steps/--dt overrides
+    horizon_t = args.steps * args.dt
     rng = np.random.default_rng(11)
 
     def build_phase(ex, scale):
@@ -728,15 +743,22 @@ def phase_chain40(args):
             )
 
     semi = None
+    attempted = False
     for gu in (2, 1):
         if args.batch % (1024 * gu):
             continue
+        attempted = True
         try:
             semi = run("semiseparable", gu, spc)
             out["chain40_group_unroll"] = gu
             break
         except Exception as e:  # pragma: no cover
             out["chain40_semi_error"] = f"{type(e).__name__}: {e}"[:120]
+    if not attempted:  # pragma: no cover — no silent gaps in the artifact
+        out["chain40_skipped"] = (
+            f"batch {args.batch} is not a multiple of 1024"
+        )
+        return out
     if semi is not None:
         out["chain40_semiseparable_member_steps_per_sec"] = (
             semi["member_steps_per_sec"]
@@ -838,6 +860,10 @@ def phase_adaptive(args):
             # linear from B=1024 to 16384 — wider batches amortize the
             # lock-step controller), so project at /3 conservatively.
             b16 = max(args.batch, 4096)
+            # "_members" (not "_b"): the compact line's endswith("_b")
+            # drop-class must not remove the size that qualifies the
+            # "16k"-named keys when --batch != 16384
+            out["adaptive_batched16k_members"] = b16
             projected = out["adaptive_tpu_batched_s"] * (b16 / b_scale) / 3.0
             if projected < 480.0:
                 try:
@@ -846,7 +872,6 @@ def phase_adaptive(args):
                           system16, ph16,
                           jnp.asarray([0.0, 1.0], jnp.float64),
                           batch_mode="shared")
-                    out["adaptive_batched16k_b"] = b16
                     out["adaptive_batched16k_f64_traj_per_sec"] = round(
                         b16 / out["adaptive_batched16k_f64_s"], 1
                     )
@@ -1253,11 +1278,6 @@ def main(argv=None):
             extras.update(phase_families(args))
         except Exception as e:  # pragma: no cover
             extras["families_error"] = f"{type(e).__name__}: {e}"[:200]
-    if not args.skip_chain40:
-        try:
-            extras.update(phase_chain40(args))
-        except Exception as e:  # pragma: no cover
-            extras["chain40_error"] = f"{type(e).__name__}: {e}"[:200]
     # order matters: a failed TPU-f64 attempt can leave the device faulted
     # for the rest of the process, so all f32 accelerator phases run before
     # the f64 attempts (adaptive is f64-on-device but small/short; it runs
@@ -1286,6 +1306,15 @@ def main(argv=None):
             vs_baseline = value / base
     except Exception as e:  # pragma: no cover
         extras["baseline_error"] = f"{type(e).__name__}: {e}"[:200]
+    # LAST among device phases: chain40's dense n=40 attempt is EXPECTED to
+    # fail (compile-helper OOM) every full run, and a failed compile
+    # process has been observed to wedge the relay — if that happens here,
+    # every other datapoint is already in ``extras``
+    if not args.skip_chain40:
+        try:
+            extras.update(phase_chain40(args))
+        except Exception as e:  # pragma: no cover
+            extras["chain40_error"] = f"{type(e).__name__}: {e}"[:200]
 
     out = {
         "metric": "chain20_ensemble_member_steps_per_sec",

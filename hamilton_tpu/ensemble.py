@@ -393,6 +393,8 @@ def evolve_ensemble_chunked(
         obs = observable.init(phase0) if initial_obs is None else initial_obs
     else:
         obs = 0 if initial_obs is None else initial_obs
+    cb_wants_obs = (carry_callback is not None
+                    and _callback_wants_obs(carry_callback))
     for ci in range(n_steps // chunk_steps):
         carry, drift, obs = chunk(carry, drift, obs)
         if callback is not None:
@@ -400,7 +402,7 @@ def evolve_ensemble_chunked(
             callback(ci, stepper.extract(carry), drift)
         if carry_callback is not None:
             jax.block_until_ready(drift)
-            if _callback_wants_obs(carry_callback):
+            if cb_wants_obs:
                 carry_callback(ci, carry, drift, obs)
             else:
                 # round-3 interface took (ci, carry, drift); support 3-arg

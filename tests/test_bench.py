@@ -235,8 +235,17 @@ class TestCompactRecord:
             assert k in out, k
 
     def test_round_sig_edge_cases(self):
+        import json
+
         assert bench._round_sig(0.0) == 0.0
-        assert bench._round_sig(float("inf")) == float("inf")
+        # non-finite floats become strings: bare NaN/Infinity is invalid
+        # JSON to strict parsers and would cost the driver the artifact
+        assert bench._round_sig(float("inf")) == "inf"
+        assert bench._round_sig(float("nan")) == "nan"
+        line = bench.compact_record({"metric": "m", "value": float("nan"),
+                                     "unit": "u", "vs_baseline": 1.0})
+        assert json.loads(line)["value"] == "nan"
+        assert "NaN" not in line
         assert bench._round_sig(123456789.0) == 123460000.0
         assert bench._round_sig(1.2345678e-7) == 1.2346e-7
         assert bench._round_sig("string") == "string"

@@ -1074,6 +1074,40 @@ class TestMobiusSolver:
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                        rtol=0, atol=1e-11)
 
+    def test_sweep_kernel_matches_semiseparable(self):
+        """Runtime-operand (batched params) mode through the KERNEL: the
+        mobius factor's tile arithmetic on per-member coefficient blocks
+        must match the semiseparable solver exactly (the broadcast-
+        sensitive path; minimal config to stay in the default tier)."""
+        rng = np.random.default_rng(9)
+        b, n = B, 2
+        ph = Phase(jnp.asarray(0.4 + 0.01 * rng.standard_normal((b, n)),
+                               jnp.float32),
+                   jnp.asarray(0.01 * rng.standard_normal((b, n)),
+                               jnp.float32))
+        masses = jnp.asarray(0.5 + rng.random((b, n)), jnp.float32)
+        grav = jnp.asarray(4.0 + rng.random(b), jnp.float32)
+        outs = {}
+        for solver in ("semiseparable", "mobius"):
+            sysb = chain(n_links=n, fused_solver=solver).system
+            sysb = sysb.replace_params({
+                "masses": masses,
+                "lengths": jnp.broadcast_to(
+                    sysb.params["lengths"].astype(jnp.float32), (b, n)
+                ),
+                "gravity": grav,
+            })
+            fus = make_stepper(sysb, "leapfrog_fused", iters=(1, 1))
+            with pltpu.force_tpu_interpret_mode():
+                c = fus.step(fus.init(ph), jnp.float32(1e-3))
+                outs[solver] = fus.extract(c)
+        np.testing.assert_array_equal(
+            np.asarray(outs["mobius"].q), np.asarray(outs["semiseparable"].q)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outs["mobius"].p), np.asarray(outs["semiseparable"].p)
+        )
+
     def test_sweep_table_layout(self):
         """The 5n coefficient table (l, S, g·l·S, m, 1/m) materializes for
         batched params and its 3n prefix matches the base family's."""

@@ -147,6 +147,7 @@ PROTECTED_SUBSTRINGS = (
     "clamped",
     "group_unroll",
     "fused_solver",
+    "_util",
 )
 LINE_BUDGET = 1900  # the driver keeps the LAST ~2000 chars of output
 
@@ -431,7 +432,7 @@ def phase_roofline(args, headline_rate):
     ``fused_hbm_util``.
     """
     from hamilton_tpu.utils.roofline import (
-        fused_step_cost, hbm_peak_probe, vpu_peak_probe,
+        fused_step_cost, hbm_peak_probe, vpu_peak_probe, vpu_trig_probe,
     )
 
     system, _ = _build(args.batch, jnp.float32,
@@ -461,6 +462,12 @@ def phase_roofline(args, headline_rate):
     hbm = hbm_peak_probe()
     out["vpu_peak_probe_gflops"] = round(vpu / 1e9, 1)
     out["hbm_peak_probe_gbps"] = round(hbm / 1e9, 1)
+    try:
+        trig = vpu_trig_probe()
+        out["vpu_trig_probe_gops"] = round(trig / 1e9, 2)
+    except Exception as e:  # pragma: no cover
+        trig = None
+        out["trig_probe_error"] = f"{type(e).__name__}: {e}"[:120]
     if headline_rate:
         achieved = headline_rate * cost["flops_per_member_step"]
         out["fused_achieved_gflops"] = round(achieved / 1e9, 1)
@@ -468,6 +475,20 @@ def phase_roofline(args, headline_rate):
         out["fused_hbm_util"] = round(
             headline_rate * cost["bytes_per_member_step"] / hbm, 4
         )
+        if trig:
+            # two-resource issue model: flops and transcendentals share
+            # the VPU's issue slots serially, so occupancies ADD — this is
+            # the honest utilization for a kernel whose ~61 sin/cos per
+            # member-step each expand to ~15-20 VPU ops (round 5: the
+            # flops-only fused_vpu_util understated the kernel's 0.54 as
+            # "half idle" when the transcendental share fills most of the
+            # rest)
+            out["fused_issue_util"] = round(
+                headline_rate * (
+                    cost["flops_per_member_step"] / vpu
+                    + cost["transcendentals_per_member_step"] / trig
+                ), 3,
+            )
     return out
 
 

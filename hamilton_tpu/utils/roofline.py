@@ -42,6 +42,7 @@ __all__ = [
     "count_ops",
     "fused_step_cost",
     "vpu_peak_probe",
+    "vpu_trig_probe",
     "hbm_peak_probe",
 ]
 
@@ -266,6 +267,51 @@ def _vpu_probe_fn(groups, reps, chains):
 
         def body(i, xs):
             return tuple(x * 1.0000001 + 1.1920929e-07 for x in xs)
+
+        xs = jax.lax.fori_loop(0, reps, body, tuple(xs))
+        for k in range(chains):
+            o_ref[0, k] = xs[k]
+
+    spec = pl.BlockSpec((1, chains, 8, 128), lambda g: (g, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return lambda a: pl.pallas_call(
+        kernel, grid=(groups,), in_specs=[spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((groups, chains, 8, 128),
+                                       jnp.float32),
+    )(a)
+
+
+def vpu_trig_probe(groups: int = 64, reps: int = 1024, chains: int = 16,
+                   calls: int = 3) -> float:
+    """Measured sin-throughput ceiling, in transcendental-ops/s.
+
+    Same structure, timing discipline, and environment traps as
+    :func:`vpu_peak_probe` (see there), with the chain body issuing one
+    ``sin`` per element per rep.  Motivation (round 5): the fused kernel's
+    ~61 transcendentals per member-step each expand to ~15-20 VPU ops, so
+    a flops-only ``fused_vpu_util`` understates how close the kernel runs
+    to the issue ceiling — the bench combines both probes into the
+    two-resource ``fused_issue_util`` (flops/flop-peak + transc/sin-peak).
+    """
+    return _probe_chain_rate(
+        _trig_probe_fn(groups, reps, chains),
+        jnp.full((groups, chains, 8, 128), 0.5, jnp.float32),
+        calls,
+        groups * chains * 1024 * reps,
+    )
+
+
+def _trig_probe_fn(groups, reps, chains):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(a_ref, o_ref):
+        xs = [a_ref[0, k] for k in range(chains)]
+
+        def body(i, xs):
+            # sin keeps the iterate in [-1, 1]; the small offset avoids a
+            # fixed point the compiler could fold
+            return tuple(jnp.sin(x) + 1.1920929e-07 for x in xs)
 
         xs = jax.lax.fori_loop(0, reps, body, tuple(xs))
         for k in range(chains):

@@ -1215,6 +1215,7 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
     ap.add_argument("--skip-drift", action="store_true")
+    ap.add_argument("--skip-dp", action="store_true")
     args = ap.parse_args(argv)
 
     def shrink_to_quick():
@@ -1268,6 +1269,16 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
         extras["accelerator_probe"] = "unresponsive; bench pinned to cpu"
         shrink_to_quick()
+        # On host the fused kernel only has interpret mode — MINUTES per
+        # phase even at quick shapes (a host-pinned --quick run measured
+        # >20 min end to end, round 5).  Every optional phase is an
+        # accelerator datapoint anyway: run the library stepper for the
+        # one headline number plus the host baseline and emit the line
+        # well inside the driver's budget.
+        args.method, args.group_unroll = "leapfrog", 1
+        args.skip_roofline = args.skip_margin = args.skip_sweep = True
+        args.skip_families = args.skip_adaptive = args.skip_drift = True
+        args.skip_chain40 = args.skip_dp = True
     value = 0.0
     vs_baseline = 0.0
     try:
@@ -1303,10 +1314,11 @@ def main(argv=None):
     # for the rest of the process, so all f32 accelerator phases run before
     # the f64 attempts (adaptive is f64-on-device but small/short; it runs
     # after every f32 phase).
-    try:
-        extras.update(phase_double_pendulum(args))
-    except Exception as e:  # pragma: no cover
-        extras["dp_error"] = f"{type(e).__name__}: {e}"[:200]
+    if not args.skip_dp:
+        try:
+            extras.update(phase_double_pendulum(args))
+        except Exception as e:  # pragma: no cover
+            extras["dp_error"] = f"{type(e).__name__}: {e}"[:200]
     if not args.skip_adaptive:
         try:
             extras.update(phase_adaptive(args))

@@ -128,6 +128,14 @@ class TestAcceleratorProbe:
         assert ("jax_platforms", "cpu") in pinned
         args = seen[0]
         assert (args.batch, args.steps) == (4096, 1000)  # quick shapes
+        # host has no compiled fused kernel (interpret mode is minutes per
+        # phase): the fallback must run the library stepper and drop every
+        # optional phase so the JSON line lands inside the driver's budget
+        assert args.method == "leapfrog"
+        assert args.group_unroll == 1
+        for f in ("roofline", "margin", "sweep", "families", "adaptive",
+                  "drift", "chain40", "dp"):
+            assert getattr(args, f"skip_{f}"), f
         line = capsys.readouterr().out.strip().splitlines()[-1]
         assert "unresponsive" in json.loads(line)["accelerator_probe"]
 
